@@ -1,0 +1,30 @@
+"""Test harness config: run JAX on a virtual 8-device CPU mesh.
+
+This mirrors the driver's multi-chip dry-run environment
+(xla_force_host_platform_device_count) so sharding tests exercise real
+collectives without TPU hardware.
+
+Note: this container's sitecustomize pre-imports jax with JAX_PLATFORMS=axon
+(a remote TPU tunnel). The backend is not initialized until first use, so
+forcing the env + jax.config here (before any test touches a device) reliably
+pins tests to the local CPU backend.
+"""
+
+import os
+import sys
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_configure(config):
+    assert jax.devices()[0].platform == "cpu"
+    assert len(jax.devices()) == 8, f"expected 8 virtual CPU devices, got {len(jax.devices())}"
