@@ -1,0 +1,185 @@
+"""Gaussian preprocessing: projection, EWA splatting covariance, culling, SH color.
+
+This is the differentiable "vertex stage" shared by the dense oracle renderer
+and the tile-binned production rasterizer. The math reproduces the behavior
+contract of diff-gaussian-rasterization's forward preprocess (SURVEY.md §3.5):
+
+  * perspective projection through the row-convention full_proj matrix with
+    the 1e-7-guarded homogeneous divide
+  * view-space depth cull at z <= 0.2
+  * EWA: cov2d = J W Sigma W^T J^T with the +0.3 pixel dilation and the
+    1.3*tan(fov) frustum clamp on the Jacobian linearization point
+  * radius = ceil(3 * sqrt(max eigenvalue)), conic = inverse covariance
+  * SH -> RGB with the +0.5 shift and clamp at 0
+
+All of it is plain jnp (vectorized over the capacity axis) and thus fully
+XLA-fusable and differentiable; no custom VJP is needed at this stage.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.camera import Camera
+from ..core.sh import eval_sh
+from ..core.transforms import quat_to_rotmat
+
+
+class ProjectedGaussians(NamedTuple):
+    mean2d: jnp.ndarray  # (N, 2) pixel coords of the splat center
+    depth: jnp.ndarray  # (N,) view-space z
+    conic: jnp.ndarray  # (N, 3) inverse 2D covariance (a, b, c)
+    color: jnp.ndarray  # (N, 3) RGB after SH evaluation
+    opacity: jnp.ndarray  # (N,) post-sigmoid opacity
+    radius: jnp.ndarray  # (N,) float screen radius in pixels (0 => culled)
+    visible: jnp.ndarray  # (N,) bool
+
+
+def compute_cov3d(scaling: jnp.ndarray, rotation_raw: jnp.ndarray, scaling_modifier=1.0):
+    """Sigma = (R S)(R S)^T from activated scales and raw quaternions."""
+    R = quat_to_rotmat(rotation_raw)
+    L = R * (scaling_modifier * scaling)[..., None, :]
+    return L @ jnp.swapaxes(L, -1, -2)
+
+
+def ewa_cov2d(
+    xyz: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    camera: Camera,
+    dilation: float = 0.3,
+    valid: jnp.ndarray | None = None,
+):
+    """Project 3D covariances to screen space (2x2), returns (N, 3) packed
+    (xx, xy, yy) *after* adding the low-pass dilation.
+
+    `valid` masks rows whose view-space point is usable (z > cull); invalid
+    rows are computed at a safe dummy point to keep all arithmetic finite
+    (NaNs would otherwise leak through `where` into gradients).
+    """
+    W = camera.world_view.T[:3, :3]  # actual W2C rotation (applied to col vectors)
+    ones = jnp.ones_like(xyz[..., :1])
+    t = (jnp.concatenate([xyz, ones], axis=-1) @ camera.world_view)[..., :3]  # view space
+    if valid is not None:
+        t = jnp.where(valid[..., None], t, jnp.asarray([0.0, 0.0, 1.0], dtype=t.dtype))
+    fx = camera.focal_x
+    fy = camera.focal_y
+    limx = 1.3 * camera.tanfovx
+    limy = 1.3 * camera.tanfovy
+    tz = t[..., 2]
+    txtz = jnp.clip(t[..., 0] / tz, -limx, limx) * tz
+    tytz = jnp.clip(t[..., 1] / tz, -limy, limy) * tz
+    inv_z = 1.0 / tz
+    inv_z2 = inv_z * inv_z
+    # J is the 2x3 Jacobian of the perspective projection at the clamped point
+    J = jnp.stack(
+        [
+            jnp.stack([fx * inv_z, jnp.zeros_like(tz), -fx * txtz * inv_z2], axis=-1),
+            jnp.stack([jnp.zeros_like(tz), fy * inv_z, -fy * tytz * inv_z2], axis=-1),
+        ],
+        axis=-2,
+    )  # (N, 2, 3)
+    T = J @ W  # (N, 2, 3)
+    cov2d = T @ cov3d @ jnp.swapaxes(T, -1, -2)  # (N, 2, 2)
+    xx = cov2d[..., 0, 0] + dilation
+    yy = cov2d[..., 1, 1] + dilation
+    xy = cov2d[..., 0, 1]
+    return jnp.stack([xx, xy, yy], axis=-1)
+
+
+def project_gaussians(
+    xyz: jnp.ndarray,  # (N, 3)
+    scaling: jnp.ndarray,  # (N, 3) activated (exp'd)
+    rotation_raw: jnp.ndarray,  # (N, 4)
+    opacity: jnp.ndarray,  # (N,) activated (sigmoid'd)
+    features: jnp.ndarray,  # (N, K, 3) SH coeffs, [coeff, channel]
+    active: jnp.ndarray,  # (N,) bool
+    camera: Camera,
+    sh_degree: int,
+    scaling_modifier=1.0,
+    dilation: float = 0.3,
+    znear_cull: float = 0.2,
+    color_precomp: jnp.ndarray | None = None,
+    cov3d_precomp: jnp.ndarray | None = None,
+    mean2d_carrier: jnp.ndarray | None = None,
+) -> ProjectedGaussians:
+    """Vectorized vertex stage.
+
+    `mean2d_carrier`: optional (N, 2) zeros added to the projected center in
+    *NDC half-extent units* — its cotangent is exactly the reference's
+    `means2D.grad` used for densification stats (`scene/gaussian_model.py:409`).
+    """
+    N = xyz.shape[0]
+    ones = jnp.ones((N, 1), dtype=xyz.dtype)
+    xyz1 = jnp.concatenate([xyz, ones], axis=-1)
+
+    p_view = xyz1 @ camera.world_view
+    depth = p_view[..., 2]
+    in_front = depth > znear_cull
+
+    p_hom = xyz1 @ camera.full_proj
+    # sanitize the homogeneous divide for culled points (w ~ 0 behind camera)
+    w_hom = jnp.where(in_front, p_hom[..., 3], 1.0)
+    p_w = 1.0 / (w_hom + 1e-7)
+    ndc = p_hom[..., :3] * p_w[..., None]
+
+    W, H = camera.width, camera.height
+    # ndc2pix: ((v + 1) * S - 1) / 2
+    px = ((ndc[..., 0] + 1.0) * W - 1.0) * 0.5
+    py = ((ndc[..., 1] + 1.0) * H - 1.0) * 0.5
+    mean2d = jnp.stack([px, py], axis=-1)
+    if mean2d_carrier is not None:
+        # carrier is in NDC half-extent units: pixel = carrier * (0.5*W, 0.5*H)
+        mean2d = mean2d + mean2d_carrier * jnp.asarray([0.5 * W, 0.5 * H], dtype=mean2d.dtype)
+
+    if cov3d_precomp is not None:
+        cov3d = cov3d_precomp
+    else:
+        cov3d = compute_cov3d(scaling, rotation_raw, scaling_modifier)
+    cov2d = ewa_cov2d(xyz, cov3d, camera, dilation, valid=in_front)  # (N, 3) xx, xy, yy
+
+    det = cov2d[..., 0] * cov2d[..., 2] - cov2d[..., 1] * cov2d[..., 1]
+    det_ok = det > 0.0
+    det_safe = jnp.where(det_ok, det, 1.0)
+    inv_det = 1.0 / det_safe
+    conic = jnp.stack(
+        [cov2d[..., 2] * inv_det, -cov2d[..., 1] * inv_det, cov2d[..., 0] * inv_det], axis=-1
+    )
+
+    mid = 0.5 * (cov2d[..., 0] + cov2d[..., 2])
+    disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    lambda1 = mid + disc
+    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
+
+    visible = active & in_front & det_ok
+    radius = jnp.where(visible, radius, 0.0)
+    # sanitize every per-gaussian output for invisible rows so no non-finite
+    # value (or spurious gradient) can leak into the blend
+    mean2d = jnp.where(visible[..., None], mean2d, 0.0)
+    conic = jnp.where(
+        visible[..., None], conic, jnp.asarray([1.0, 0.0, 1.0], dtype=conic.dtype)
+    )
+    depth = jnp.where(visible, depth, 0.0)
+    opacity = jnp.where(visible, opacity, 0.0)
+
+    if color_precomp is not None:
+        color = color_precomp
+    else:
+        dir_pp = xyz - camera.cam_center
+        norm = jnp.sqrt(jnp.sum(dir_pp * dir_pp, axis=-1, keepdims=True))
+        dir_pp = dir_pp / jnp.maximum(norm, 1e-8)
+        # features are [coeff, channel]; eval_sh wants [..., channel, coeff]
+        sh = jnp.swapaxes(features, -1, -2)
+        color = jnp.maximum(eval_sh(sh_degree, sh, dir_pp) + 0.5, 0.0)
+
+    return ProjectedGaussians(
+        mean2d=mean2d,
+        depth=depth,
+        conic=conic,
+        color=color,
+        opacity=opacity,
+        radius=radius,
+        visible=visible,
+    )
