@@ -1,0 +1,116 @@
+"""Training losses and image metrics.
+
+Behavioral parity target: reference `utils/loss_utils.py` (L1 with the
+unnormalized mask convention, window-11 sigma-1.5 SSIM, edge-aware disparity
+SmoothLoss with hardcoded central-difference kernels and VALID padding) and
+`utils/image_utils.py:18` (PSNR, optionally mask==1 selected).
+
+Images are (H, W, C) float32 (channels-last, TPU-friendly); all functions
+also accept a leading batch dim.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+SSIM_WINDOW = 11
+SSIM_SIGMA = 1.5
+SSIM_C1 = 0.01**2
+SSIM_C2 = 0.03**2
+
+
+def l1_loss(pred, gt, mask=None):
+    """Mean absolute error; when masked, the mean still runs over all pixels
+    (reference `utils/loss_utils.py:18-21`)."""
+    if mask is not None:
+        return jnp.mean(jnp.abs(pred * mask - gt * mask))
+    return jnp.mean(jnp.abs(pred - gt))
+
+
+def l2_loss(pred, gt):
+    return jnp.mean((pred - gt) ** 2)
+
+
+def _gaussian_window(size: int, sigma: float) -> jnp.ndarray:
+    xs = jnp.arange(size, dtype=jnp.float32) - size // 2
+    g = jnp.exp(-(xs**2) / (2.0 * sigma**2))
+    return g / jnp.sum(g)
+
+
+def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
+    """Separable 2D gaussian filter with zero ('SAME') padding, per channel.
+
+    img: (B, H, W, C). The 2D window is the outer product of the 1D window,
+    so two 1D convolutions reproduce the reference's grouped conv2d exactly.
+    """
+    C = img.shape[-1]
+    size = window.shape[0]
+    pad = size // 2
+    k_h = jnp.tile(window.reshape(size, 1, 1, 1), (1, 1, 1, C))  # HWIO, grouped
+    x = jax.lax.conv_general_dilated(
+        img, k_h, (1, 1), ((pad, pad), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
+    )
+    k_w = jnp.tile(window.reshape(1, size, 1, 1), (1, 1, 1, C))
+    return jax.lax.conv_general_dilated(
+        x, k_w, (1, 1), ((0, 0), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
+    )
+
+
+def ssim(img1, img2, window_size: int = SSIM_WINDOW, size_average: bool = True):
+    """Structural similarity (reference `utils/loss_utils.py:36-66`)."""
+    squeeze = img1.ndim == 3
+    if squeeze:
+        img1, img2 = img1[None], img2[None]
+    window = _gaussian_window(window_size, SSIM_SIGMA)
+    mu1 = _blur(img1, window)
+    mu2 = _blur(img2, window)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = _blur(img1 * img1, window) - mu1_sq
+    sigma2_sq = _blur(img2 * img2, window) - mu2_sq
+    sigma12 = _blur(img1 * img2, window) - mu1_mu2
+    ssim_map = ((2 * mu1_mu2 + SSIM_C1) * (2 * sigma12 + SSIM_C2)) / (
+        (mu1_sq + mu2_sq + SSIM_C1) * (sigma1_sq + sigma2_sq + SSIM_C2)
+    )
+    if size_average:
+        return jnp.mean(ssim_map)
+    return jnp.mean(ssim_map, axis=(1, 2, 3))
+
+
+def smooth_loss(disparity, image):
+    """Edge-aware disparity smoothness (reference `utils/loss_utils.py:68-91`).
+
+    disparity: (H, W) or (H, W, 1); image: (H, W, 3). VALID 3x3 convs:
+    horizontal/vertical central differences (x0.5), image edges summed over
+    channels, weight exp(-0.33*|edge|).
+    """
+    if disparity.ndim == 3:
+        disparity = disparity[..., 0]
+    # x-direction central difference at interior pixels
+    ex_im = 0.5 * (image[1:-1, 2:, :] - image[1:-1, :-2, :]).sum(axis=-1)
+    ey_im = 0.5 * (image[2:, 1:-1, :] - image[:-2, 1:-1, :]).sum(axis=-1)
+    ex_d = 0.5 * (disparity[1:-1, 2:] - disparity[1:-1, :-2])
+    ey_d = 0.5 * (disparity[2:, 1:-1] - disparity[:-2, 1:-1])
+    wx = jnp.exp(-0.33 * jnp.abs(ex_im))
+    wy = jnp.exp(-0.33 * jnp.abs(ey_im))
+    return jnp.mean(jnp.abs(wx * ex_d)) + jnp.mean(jnp.abs(wy * ey_d))
+
+
+def psnr(img1, img2, mask=None):
+    """Peak signal-to-noise ratio (reference `utils/image_utils.py:18-23`).
+
+    With a mask, only pixels where mask == 1 enter the mean (broadcast over
+    channels like the torch boolean indexing does).
+    """
+    if mask is not None:
+        sel = (mask == 1.0).astype(img1.dtype)
+        sel = jnp.broadcast_to(sel, img1.shape)
+        mse = jnp.sum(((img1 - img2) ** 2) * sel) / jnp.maximum(jnp.sum(sel), 1.0)
+    else:
+        mse = jnp.mean((img1 - img2) ** 2)
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(mse))
