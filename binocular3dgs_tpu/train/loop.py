@@ -1,0 +1,324 @@
+"""Host-side training driver.
+
+Behavioral parity target: reference `train.py:35-202` (`training(...)`):
+per-iteration camera sampling via seeded python RNG, SH degree bump every
+1000 iterations, densification every `densification_interval` after
+`densify_from_iter`, PLY snapshots at save_iterations, npz checkpoints at
+checkpoint_iterations, PSNR/L1 report at test_iterations.
+
+TPU-specific: fixed-capacity buffers grow (next power of two) when
+densification fills past the configured trigger; jit caches are keyed by
+capacity so growth costs one recompile.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data.dataset import Scene, View
+from ..models import densify as densify_mod
+from ..models.gaussians import GaussianModel, create_from_pcd, grow_capacity, next_pow2, save_ply
+from ..ops.losses import l1_loss, psnr
+from .state import TrainState, init_train_state
+from .step import make_train_step
+
+
+def dtu_background_mask(gt_image: np.ndarray, is_scan110: bool) -> np.ndarray:
+    """Dark-region background mask with 50-row vertical smear
+    (reference `train.py:111-121`, from DNGaussian). gt: (H, W, 3)."""
+    thr = (15.0 if is_scan110 else 30.0) / 255.0
+    mask = (gt_image.max(axis=-1) < thr).astype(np.float32)  # (H, W)
+    orig = mask.copy()
+    for i in range(1, 50):
+        mask[i:] *= orig[:-i]
+    return mask
+
+
+def alpha_weight_for_view(cfg: Config, view: View) -> np.ndarray:
+    """Per-pixel weight for the alpha loss (reference `train.py:139-143`)."""
+    H, W = view.camera.height, view.camera.width
+    if view.alpha_mask is not None:
+        return (1.0 - view.alpha_mask[..., 0]).astype(np.float32)
+    if cfg.train.dataset_name == "DTU" and view.image is not None:
+        return dtu_background_mask(view.image, "scan110" in cfg.model.source_path)
+    return np.zeros((H, W), np.float32)
+
+
+@dataclass
+class TrainerLogEntry:
+    iteration: int
+    loss: float
+    disparity_loss: float
+    points: int
+    iters_per_sec: float
+
+
+def _stack_cameras(views: list[View]):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *[v.camera for v in views])
+
+
+def _index_camera(cams_stacked, idx: int):
+    return jax.tree.map(lambda x: x[idx], cams_stacked)
+
+
+class Trainer:
+    """Drives training for one scene."""
+
+    def __init__(self, cfg: Config, scene: Scene, render_fn=None, model: GaussianModel | None = None):
+        self.cfg = cfg
+        self.scene = scene
+        if render_fn is None:
+            try:
+                from ..ops.rasterize import render_tiled as render_fn
+            except ImportError:  # production rasterizer not built yet
+                from ..ops.rasterize_reference import render_dense as render_fn
+        self.render_fn = render_fn
+
+        if model is None:
+            model = create_from_pcd(
+                scene.scene_info.point_cloud,
+                spatial_lr_scale=scene.cameras_extent,
+                max_sh_degree=cfg.model.sh_degree,
+                capacity_margin=cfg.capacity.initial_margin,
+            )
+        self.state = init_train_state(model)
+
+        self.views = scene.train_views
+        assert len(self.views) > 0
+        self.gt_images = jnp.stack([jnp.asarray(v.image) for v in self.views])
+        self.alpha_weights = jnp.stack(
+            [jnp.asarray(alpha_weight_for_view(cfg, v)) for v in self.views]
+        )
+        self.use_alpha_weight = bool(np.any(np.asarray(self.alpha_weights) > 0))
+        self.cams = _stack_cameras(self.views)
+
+        bg = [1.0, 1.0, 1.0] if cfg.model.white_background else [0.0, 0.0, 0.0]
+        self.bg = jnp.asarray(bg, dtype=jnp.float32)
+
+        self.rng = random.Random(cfg.train.seed)
+        self.key = jax.random.PRNGKey(cfg.train.seed)
+        self._step_cache: dict = {}
+        self.log: list[TrainerLogEntry] = []
+
+    # -- jit-cache helpers ---------------------------------------------------
+    def _get_step_fn(self, binocular: bool):
+        key = (binocular, self.state.model.capacity, self.state.model.active_sh_degree)
+        if key not in self._step_cache:
+            self._step_cache[key] = make_train_step(
+                self.render_fn,
+                self.cfg,
+                self.state.model.spatial_lr_scale,
+                binocular=binocular,
+                use_alpha_weight=self.use_alpha_weight,
+            )
+        return self._step_cache[key]
+
+    # -- main loop -----------------------------------------------------------
+    def train(self, iterations: int | None = None, progress=None):
+        cfg = self.cfg
+        opt = cfg.opt
+        iterations = iterations or opt.iterations
+        t0 = time.time()
+        last_log_t, last_log_it = t0, 0
+
+        for iteration in range(1, iterations + 1):
+            if iteration % 1000 == 0:
+                self.state = self.state.replace(model=self.state.model.one_up_sh_degree())
+
+            view_idx = self.rng.randrange(len(self.views))
+            camera = _index_camera(self.cams, view_idx)
+
+            binocular = (
+                cfg.train.binocular_consistency and iteration > cfg.train.shift_cam_start
+            )
+            self.key, sub = jax.random.split(self.key)
+            step_fn = self._get_step_fn(binocular)
+            self.state, metrics = step_fn(
+                self.state,
+                camera,
+                self.gt_images[view_idx],
+                self.alpha_weights[view_idx],
+                jnp.int32(iteration),
+                sub,
+                self.bg,
+            )
+
+            densify_until = (
+                iterations if cfg.train.opacity_decay else opt.densify_until_iter
+            )
+            if (
+                iteration < densify_until
+                and iteration > opt.densify_from_iter
+                and iteration % opt.densification_interval == 0
+            ):
+                self._densify(iteration)
+
+            if progress is not None and iteration % 10 == 0:
+                now = time.time()
+                ips = (iteration - last_log_it) / max(now - last_log_t, 1e-9)
+                last_log_t, last_log_it = now, iteration
+                entry = TrainerLogEntry(
+                    iteration=iteration,
+                    loss=float(metrics.loss),
+                    disparity_loss=float(metrics.disparity_loss),
+                    points=int(self.state.model.count()),
+                    iters_per_sec=ips,
+                )
+                self.log.append(entry)
+                progress(entry)
+
+            if iteration in cfg.train.test_iterations:
+                self.report(iteration)
+            if iteration in cfg.train.save_iterations:
+                self.save(iteration)
+            if iteration in cfg.train.checkpoint_iterations:
+                self.save_checkpoint(iteration)
+
+        return self.state
+
+    def _densify(self, iteration: int):
+        cfg = self.cfg
+        self.key, sub = jax.random.split(self.key)
+        result = densify_mod.densify_and_prune(
+            self.state,
+            grad_threshold=cfg.opt.densify_grad_threshold,
+            min_opacity=0.005,
+            extent=self.scene.cameras_extent,
+            percent_dense=cfg.opt.percent_dense,
+            key=sub,
+        )
+        n_after = int(result.n_after)
+        n_wanted = int(result.n_wanted)
+        self.state = result.state
+        cap = self.state.model.capacity
+        if (
+            n_wanted > cap * self.cfg.capacity.growth_trigger
+            and cap < self.cfg.capacity.max_capacity
+        ):
+            new_cap = min(next_pow2(cap * 2), self.cfg.capacity.max_capacity)
+            self.state = self.state.replace(
+                model=grow_capacity(self.state.model, new_cap),
+                adam_m=_pad_params(self.state.adam_m, new_cap),
+                adam_v=_pad_params(self.state.adam_v, new_cap),
+                grad_accum=_pad1(self.state.grad_accum, new_cap),
+                denom=_pad1(self.state.denom, new_cap),
+                max_radii2d=_pad1(self.state.max_radii2d, new_cap),
+            )
+
+    # -- reporting / persistence --------------------------------------------
+    def render_view(self, view: View):
+        camera = view.camera
+        out = self.render_fn(camera, self.state.model, self.bg, mean2d_carrier=None)
+        return out
+
+    def report(self, iteration: int):
+        """reference `training_report` (`train.py:226-261`)."""
+        results = {}
+        for name, views in (
+            ("test", self.scene.test_views),
+            ("train", [self.views[i % len(self.views)] for i in range(5, 30, 5)]),
+        ):
+            if not views:
+                continue
+            l1s, psnrs = [], []
+            for v in views:
+                out = self.render_view(v)
+                img = jnp.clip(out.image, 0.0, 1.0)
+                gt = jnp.clip(jnp.asarray(v.image), 0.0, 1.0)
+                l1s.append(float(l1_loss(img, gt)))
+                psnrs.append(float(psnr(img, gt)))
+            results[name] = {"l1": float(np.mean(l1s)), "psnr": float(np.mean(psnrs))}
+            print(f"\n[ITER {iteration}] Evaluating {name}: L1 {np.mean(l1s)} PSNR {np.mean(psnrs)}")
+        return results
+
+    def save(self, iteration: int):
+        if not self.cfg.model.model_path:
+            return
+        path = os.path.join(
+            self.cfg.model.model_path, f"point_cloud/iteration_{iteration}/point_cloud.ply"
+        )
+        save_ply(self.state.model, path)
+
+    def save_checkpoint(self, iteration: int):
+        if not self.cfg.model.model_path:
+            return
+        save_checkpoint(
+            self.state, iteration, os.path.join(self.cfg.model.model_path, f"chkpnt{iteration}.npz")
+        )
+
+
+def _pad_params(params, new_cap):
+    def pad(a):
+        extra = new_cap - a.shape[0]
+        return jnp.concatenate([a, jnp.zeros((extra,) + a.shape[1:], a.dtype)], axis=0)
+
+    return jax.tree.map(pad, params)
+
+
+def _pad1(a, new_cap):
+    return jnp.concatenate([a, jnp.zeros(new_cap - a.shape[0], a.dtype)])
+
+
+def save_checkpoint(state: TrainState, iteration: int, path: str) -> None:
+    """Full training checkpoint (reference capture(), `scene/gaussian_model.py:61-75`)."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    arrays = {}
+    for prefix, tree in (
+        ("params", state.model.params),
+        ("adam_m", state.adam_m),
+        ("adam_v", state.adam_v),
+    ):
+        for f in ("xyz", "f_dc", "f_rest", "opacity", "scaling", "rotation"):
+            arrays[f"{prefix}.{f}"] = np.asarray(getattr(tree, f))
+    arrays["active"] = np.asarray(state.model.active)
+    arrays["adam_step"] = np.asarray(state.adam_step)
+    arrays["grad_accum"] = np.asarray(state.grad_accum)
+    arrays["denom"] = np.asarray(state.denom)
+    arrays["max_radii2d"] = np.asarray(state.max_radii2d)
+    arrays["meta"] = np.asarray(
+        [iteration, state.model.active_sh_degree, state.model.max_sh_degree]
+    )
+    arrays["spatial_lr_scale"] = np.asarray(state.model.spatial_lr_scale)
+    np.savez(path, **arrays)
+
+
+def load_checkpoint(path: str):
+    """Returns (TrainState, iteration)."""
+    from ..models.gaussians import GaussianParams
+
+    z = np.load(path)
+
+    def tree(prefix):
+        return GaussianParams(
+            **{
+                f: jnp.asarray(z[f"{prefix}.{f}"])
+                for f in ("xyz", "f_dc", "f_rest", "opacity", "scaling", "rotation")
+            }
+        )
+
+    iteration, active_sh, max_sh = (int(x) for x in z["meta"])
+    model = GaussianModel(
+        params=tree("params"),
+        active=jnp.asarray(z["active"]),
+        max_sh_degree=max_sh,
+        active_sh_degree=active_sh,
+        spatial_lr_scale=float(z["spatial_lr_scale"]),
+    )
+    state = TrainState(
+        model=model,
+        adam_m=tree("adam_m"),
+        adam_v=tree("adam_v"),
+        adam_step=jnp.asarray(z["adam_step"]),
+        grad_accum=jnp.asarray(z["grad_accum"]),
+        denom=jnp.asarray(z["denom"]),
+        max_radii2d=jnp.asarray(z["max_radii2d"]),
+    )
+    return state, iteration
