@@ -79,12 +79,12 @@ class RasterConfig:
 
     tile_size: int = 16  # pixels per tile side (16x16 tiles like CUDA 3DGS)
     # Static capacity of the (tile, gaussian) pair list as a multiple of the
-    # Gaussian capacity. Overflowing pairs are dropped far-to-near.
+    # Gaussian capacity. Overflowing pairs are dropped (reported via num_pairs).
     pairs_per_gaussian: int = 12
-    # Max tiles a single Gaussian's screen bbox may span per axis when emitting
-    # pairs (caps scatter work; huge gaussians are truncated to this window).
-    max_tiles_per_axis: int = 32
-    # Per-chunk gaussians in the blend kernel inner loop.
+    # Static bound on pairs blended per tile; deeper pairs are dropped (they
+    # sit behind T<1e-4 termination in practice).
+    max_pairs_per_tile: int = 2048
+    # Per-chunk gaussians in the blend inner loop.
     chunk: int = 32
     # Numerical constants of the CUDA rasterizer behavior spec (SURVEY.md §3.5)
     alpha_min: float = 1.0 / 255.0

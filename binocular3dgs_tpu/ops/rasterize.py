@@ -1,0 +1,134 @@
+"""Production tiled rasterizer: project -> bin -> sort -> blend (custom VJP).
+
+Drop-in replacement for ops/rasterize_reference.render_dense with the same
+outputs (RenderOutput) and gradients, but O(pairs) instead of O(P * pixels):
+
+  1. vertex stage (ops/project.py) — differentiable XLA
+  2. tile binning + (tile, depth) sort (ops/binning.py) — integer XLA,
+     wrapped in stop_gradient
+  3. blend (ops/blend.py) — custom VJP; forward walks per-tile pair lists
+     front-to-back, backward reconstructs transmittance by division from
+     T_final, exactly like the CUDA kernels
+
+Static capacities (jit-able): `pair_capacity = pairs_per_gaussian * N` and
+`max_pairs_per_tile`; overflow is dropped (deepest pairs last) — callers can
+inspect `RenderOutput.num_pairs` against capacity and re-jit larger.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RasterConfig
+from ..core.camera import Camera
+from ..models.gaussians import GaussianModel
+from .binning import bin_gaussians, tile_grid
+from .blend import BlendInputs, blend_backward_xla, blend_forward_xla
+from .project import project_gaussians
+from .rasterize_reference import RenderOutput
+
+_DEFAULT_RASTER = RasterConfig()
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _blend(inputs: BlendInputs, pair_gauss, tile_start, tile_count, TW, TH, ts, mpt, chunk):
+    rgb, dep, T_final, _ = blend_forward_xla(
+        inputs, pair_gauss, tile_start, tile_count, TW, TH, ts, mpt, chunk
+    )
+    return rgb, dep, T_final
+
+
+def _blend_fwd(inputs, pair_gauss, tile_start, tile_count, TW, TH, ts, mpt, chunk):
+    rgb, dep, T_final, n_contrib = blend_forward_xla(
+        inputs, pair_gauss, tile_start, tile_count, TW, TH, ts, mpt, chunk
+    )
+    res = (inputs, pair_gauss, tile_start, tile_count, T_final, n_contrib)
+    return (rgb, dep, T_final), res
+
+
+def _blend_bwd(TW, TH, ts, mpt, chunk, res, cotangents):
+    inputs, pair_gauss, tile_start, tile_count, T_final, n_contrib = res
+    d_rgb, d_dep, d_Tfin = cotangents
+    grads = blend_backward_xla(
+        inputs, pair_gauss, tile_start, tile_count, TW, TH, ts, mpt, chunk,
+        T_final, n_contrib, d_rgb, d_dep, d_Tfin,
+    )
+    f0 = jax.dtypes.float0
+
+    def int_zero(x):
+        return np.zeros(x.shape, dtype=f0)
+
+    return (grads, int_zero(pair_gauss), int_zero(tile_start), int_zero(tile_count))
+
+
+_blend.defvjp(_blend_fwd, _blend_bwd)
+
+
+def _tiles_to_image(tiles: jnp.ndarray, TW: int, TH: int, ts: int, H: int, W: int):
+    """(T, S, ...) tile blocks -> (H, W, ...) image crop."""
+    trailing = tiles.shape[2:]
+    x = tiles.reshape((TH, TW, ts, ts) + trailing)
+    x = jnp.moveaxis(x, 2, 1).reshape((TH * ts, TW * ts) + trailing)
+    return x[:H, :W]
+
+
+def render_tiled(
+    camera: Camera,
+    model: GaussianModel,
+    bg: jnp.ndarray,
+    scaling_modifier=1.0,
+    override_color: jnp.ndarray | None = None,
+    mean2d_carrier: jnp.ndarray | None = None,
+    raster: RasterConfig = _DEFAULT_RASTER,
+) -> RenderOutput:
+    proj = project_gaussians(
+        xyz=model.params.xyz,
+        scaling=model.get_scaling(),
+        rotation_raw=model.params.rotation,
+        opacity=model.get_opacity()[..., 0],
+        features=model.get_features(),
+        active=model.active,
+        camera=camera,
+        sh_degree=model.active_sh_degree,
+        scaling_modifier=scaling_modifier,
+        dilation=raster.dilation,
+        znear_cull=raster.znear_cull,
+        color_precomp=override_color,
+        mean2d_carrier=mean2d_carrier,
+    )
+
+    W, H = camera.width, camera.height
+    ts = raster.tile_size
+    TW, TH = tile_grid(W, H, ts)
+    N = proj.mean2d.shape[0]
+    pair_capacity = raster.pairs_per_gaussian * N
+
+    binning = bin_gaussians(
+        proj.mean2d, proj.radius, proj.depth, W, H, ts, pair_capacity
+    )
+
+    inputs = BlendInputs(
+        mean2d=proj.mean2d,
+        conic=proj.conic,
+        color=proj.color,
+        opacity=proj.opacity,
+        depth=proj.depth,
+    )
+    mpt = min(raster.max_pairs_per_tile, pair_capacity)
+    rgb_t, dep_t, T_final_t = _blend(
+        inputs, binning.pair_gauss, binning.tile_start, binning.tile_count,
+        TW, TH, ts, mpt, raster.chunk,
+    )
+    rgb = _tiles_to_image(rgb_t, TW, TH, ts, H, W)
+    dep = _tiles_to_image(dep_t[..., None], TW, TH, ts, H, W)[..., 0]
+    T_final = _tiles_to_image(T_final_t[..., None], TW, TH, ts, H, W)[..., 0]
+
+    image = rgb + T_final[..., None] * bg[None, None, :]
+    alpha = 1.0 - T_final
+    return RenderOutput(
+        image=image, depth=dep, alpha=alpha, radii=proj.radius, visible=proj.radius > 0
+    )

@@ -49,14 +49,24 @@ def blend_dense(
     alpha_min: float = ALPHA_MIN,
     t_min: float = T_MIN,
     alpha_clamp: float = ALPHA_CLAMP,
+    tile_size: int = 16,
 ):
-    """Per-pixel front-to-back composite of all gaussians (dense)."""
+    """Per-pixel front-to-back composite of all gaussians (dense).
+
+    `tile_size` reproduces the CUDA rasterizer's tile-granular culling: a
+    gaussian only touches pixels whose 16x16 tile intersects its radius bbox
+    (even pixels beyond 3 sigma inside such tiles *are* composited, and
+    pixels outside the bbox's tiles are not — exact CUDA semantics).
+    """
+    from .binning import tile_grid, tile_rect
+
     order = jnp.argsort(jnp.where(proj.visible, proj.depth, jnp.inf))
     mean2d = proj.mean2d[order]
     conic = proj.conic[order]
     color = proj.color[order]
     opacity = jnp.where(proj.visible, proj.opacity, 0.0)[order]
     depth = proj.depth[order]
+    radius = proj.radius[order]
 
     n = mean2d.shape[0]
     ys = jnp.arange(height, dtype=jnp.float32)
@@ -68,6 +78,19 @@ def blend_dense(
     power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy  # (H, W, N)
     alpha = jnp.minimum(alpha_clamp, opacity * jnp.exp(power))
     alpha = jnp.where((power > 0.0) | (alpha < alpha_min), 0.0, alpha)
+
+    # tile-granular bbox culling (CUDA binning semantics)
+    TW, TH = tile_grid(width, height, tile_size)
+    tmin_x, tmin_y, tmax_x, tmax_y = tile_rect(mean2d, radius, tile_size, TW, TH)
+    ptx = (xs.astype(jnp.int32) // tile_size)[None, :, None]  # (1, W, 1)
+    pty = (ys.astype(jnp.int32) // tile_size)[:, None, None]  # (H, 1, 1)
+    covered = (
+        (ptx >= tmin_x[None, None, :])
+        & (ptx < tmax_x[None, None, :])
+        & (pty >= tmin_y[None, None, :])
+        & (pty < tmax_y[None, None, :])
+    )
+    alpha = jnp.where(covered, alpha, 0.0)
 
     # termination semantics: first gaussian whose inclusion drops T below t_min
     # kills blending (itself excluded); emulate with raw cumprod + masks.
