@@ -86,6 +86,11 @@ class RasterConfig:
     max_pairs_per_tile: int = 2048
     # Per-chunk gaussians in the blend inner loop.
     chunk: int = 32
+    # Blend backend: "auto" (pallas on TPU, xla elsewhere), "xla", or "pallas"
+    # (pallas runs in interpreter mode off-TPU).
+    backend: str = "auto"
+    # Pair chunk length for the pallas kernels (lane dimension; power of two).
+    pallas_chunk: int = 128
     # Numerical constants of the CUDA rasterizer behavior spec (SURVEY.md §3.5)
     alpha_min: float = 1.0 / 255.0
     transmittance_min: float = 1e-4

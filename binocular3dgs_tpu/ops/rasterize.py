@@ -68,6 +68,82 @@ def _blend_bwd(TW, TH, ts, mpt, chunk, res, cotangents):
 _blend.defvjp(_blend_fwd, _blend_bwd)
 
 
+# ---------------------------------------------------------------------------
+# pallas backend: custom VJP at the (16, P) record level — gradients flow to
+# per-gaussian arrays through the XLA-side gather that builds the records
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _blend_records_pallas(records, tile_start, tile_count, TW, TH, ts, chunk, interpret):
+    from .blend_pallas import blend_forward_pallas
+
+    rgb, dep, tfin, _ = blend_forward_pallas(
+        records, tile_start, tile_count, TW, TH, ts, chunk, interpret
+    )
+    return rgb, dep, tfin
+
+
+def _blend_records_pallas_fwd(records, tile_start, tile_count, TW, TH, ts, chunk, interpret):
+    from .blend_pallas import blend_forward_pallas
+
+    rgb, dep, tfin, nc = blend_forward_pallas(
+        records, tile_start, tile_count, TW, TH, ts, chunk, interpret
+    )
+    return (rgb, dep, tfin), (records, tile_start, tile_count, tfin, nc)
+
+
+def _blend_records_pallas_bwd(TW, TH, ts, chunk, interpret, res, cots):
+    from .blend_pallas import blend_backward_pallas
+
+    records, tile_start, tile_count, tfin, nc = res
+    d_rgb, d_dep, d_tfin = cots
+    d_records = blend_backward_pallas(
+        records, tile_start, tile_count, tfin, nc, d_rgb, d_dep, d_tfin,
+        TW, TH, ts, chunk, interpret,
+    )
+    f0 = jax.dtypes.float0
+    return (
+        d_records,
+        np.zeros(tile_start.shape, dtype=f0),
+        np.zeros(tile_count.shape, dtype=f0),
+    )
+
+
+_blend_records_pallas.defvjp(_blend_records_pallas_fwd, _blend_records_pallas_bwd)
+
+
+def _blend_via_pallas(inputs: BlendInputs, binning, TW, TH, ts, chunk, interpret):
+    from .blend_pallas import REC_ROWS
+
+    P = binning.pair_gauss.shape[0]
+    fields = jnp.stack(
+        [
+            inputs.mean2d[:, 0],
+            inputs.mean2d[:, 1],
+            inputs.conic[:, 0],
+            inputs.conic[:, 1],
+            inputs.conic[:, 2],
+            inputs.opacity,
+            inputs.color[:, 0],
+            inputs.color[:, 1],
+            inputs.color[:, 2],
+            inputs.depth,
+        ],
+        axis=0,
+    )  # (10, N)
+    fields = jnp.concatenate(
+        [fields, jnp.zeros((REC_ROWS - fields.shape[0], fields.shape[1]), fields.dtype)],
+        axis=0,
+    )
+    records = fields[:, binning.pair_gauss]  # (16, P) — differentiable gather
+    # pad the pair axis so a partial final DMA chunk never reads out of bounds
+    records = jnp.pad(records, ((0, 0), (0, chunk)))
+    return _blend_records_pallas(
+        records, binning.tile_start, binning.tile_count, TW, TH, ts, chunk, interpret
+    )
+
+
 def _tiles_to_image(tiles: jnp.ndarray, TW: int, TH: int, ts: int, H: int, W: int):
     """(T, S, ...) tile blocks -> (H, W, ...) image crop."""
     trailing = tiles.shape[2:]
@@ -118,11 +194,20 @@ def render_tiled(
         opacity=proj.opacity,
         depth=proj.depth,
     )
-    mpt = min(raster.max_pairs_per_tile, pair_capacity)
-    rgb_t, dep_t, T_final_t = _blend(
-        inputs, binning.pair_gauss, binning.tile_start, binning.tile_count,
-        TW, TH, ts, mpt, raster.chunk,
-    )
+    backend = raster.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        interpret = jax.default_backend() != "tpu"
+        rgb_t, dep_t, T_final_t = _blend_via_pallas(
+            inputs, binning, TW, TH, ts, raster.pallas_chunk, interpret
+        )
+    else:
+        mpt = min(raster.max_pairs_per_tile, pair_capacity)
+        rgb_t, dep_t, T_final_t = _blend(
+            inputs, binning.pair_gauss, binning.tile_start, binning.tile_count,
+            TW, TH, ts, mpt, raster.chunk,
+        )
     rgb = _tiles_to_image(rgb_t, TW, TH, ts, H, W)
     dep = _tiles_to_image(dep_t[..., None], TW, TH, ts, H, W)[..., 0]
     T_final = _tiles_to_image(T_final_t[..., None], TW, TH, ts, H, W)[..., 0]
