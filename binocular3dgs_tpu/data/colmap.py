@@ -229,7 +229,7 @@ def write_points3d_binary(path: str, xyz: np.ndarray, rgb: np.ndarray, err: np.n
                     int(rgb[i][0]),
                     int(rgb[i][1]),
                     int(rgb[i][2]),
-                    float(err[i]),
+                    float(np.asarray(err[i]).reshape(-1)[0]),
                 )
             )
             f.write(struct.pack("<Q", 0))

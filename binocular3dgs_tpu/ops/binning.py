@@ -64,16 +64,27 @@ def bin_gaussians(
     height: int,
     tile_size: int,
     pair_capacity: int,
+    tile_row_start: int = 0,
+    tile_rows: int | None = None,
 ) -> TileBinning:
+    """`tile_row_start`/`tile_rows` restrict binning to a horizontal band of
+    tile rows (tile ids are local to the band) — the unit of pixel-parallel
+    sharding across devices."""
     mean2d = jax.lax.stop_gradient(mean2d)
     radius = jax.lax.stop_gradient(radius)
     depth = jax.lax.stop_gradient(depth)
 
     TW, TH = tile_grid(width, height, tile_size)
-    num_tiles = TW * TH
+    if tile_rows is None:
+        tile_rows = TH
+    num_tiles = TW * tile_rows
     n = mean2d.shape[0]
 
     tmin_x, tmin_y, tmax_x, tmax_y = tile_rect(mean2d, radius, tile_size, TW, TH)
+    # band restriction (no-op for the defaults); tile_row_start may be traced
+    # (per-device axis index under shard_map), tile_rows must be static
+    tmin_y = jnp.clip(tmin_y - tile_row_start, 0, tile_rows)
+    tmax_y = jnp.clip(tmax_y - tile_row_start, 0, tile_rows)
     span_x = jnp.maximum(tmax_x - tmin_x, 0)
     span_y = jnp.maximum(tmax_y - tmin_y, 0)
     count = jnp.where(radius > 0, span_x * span_y, 0)
@@ -113,4 +124,32 @@ def bin_gaussians(
         tile_start=tile_start,
         tile_count=tile_count,
         num_pairs=num_pairs,
+    )
+
+
+def align_pairs(binning: TileBinning, chunk: int, num_tiles: int) -> TileBinning:
+    """Re-layout sorted pairs so every tile's segment starts at a multiple of
+    `chunk` (the Pallas DMA lane alignment). Capacity grows by at most
+    num_tiles * chunk; slack slots point at gaussian 0 but are masked by
+    tile_count in the kernels."""
+    P = binning.pair_gauss.shape[0]
+    count = binning.tile_count
+    padded = ((count + chunk - 1) // chunk) * chunk
+    aligned_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)]
+    )
+    cap = P + num_tiles * chunk
+    p = jnp.arange(cap, dtype=jnp.int32)
+    t = jnp.searchsorted(aligned_start + padded, p, side="right").astype(jnp.int32)
+    t_safe = jnp.minimum(t, num_tiles - 1)
+    k = p - aligned_start[t_safe]
+    src = binning.tile_start[t_safe] + k
+    valid = (t < num_tiles) & (k < count[t_safe])
+    gauss = jnp.where(valid, binning.pair_gauss[jnp.clip(src, 0, P - 1)], 0)
+    return TileBinning(
+        pair_gauss=gauss,
+        pair_tile=jnp.where(valid, t_safe, num_tiles),
+        tile_start=aligned_start,
+        tile_count=count,
+        num_pairs=binning.num_pairs,
     )

@@ -3,25 +3,32 @@
 Same math and termination semantics as ops/blend.py (the XLA scan version),
 but executed as one kernel program per 16x16 tile with:
 
-  * scalar-prefetched per-tile [start, count) pair ranges (SMEM)
-  * per-chunk async DMA of the sorted pair records from HBM
-    (records are stored field-major (16, P) so a chunk lands as (16, C)
-    with pairs on lanes — no in-kernel transposes)
-  * a dynamic while-loop over chunks with early exit when every pixel's
-    transmittance chain has terminated (the XLA scan always pays the
-    static worst case; this kernel pays the true per-tile depth)
-  * lane-axis prefix/suffix products implemented as log2(C) masked
-    pltpu.roll steps (cumprod does not lower on TPU Pallas)
-  * the backward walks chunks in reverse from ceil(max n_contrib / C),
-    reconstructing transmittance by division from T_final exactly like
-    the CUDA backward; per-pair cotangents are written back to an
-    aliased pre-zeroed (16, P) buffer, then segment-summed per gaussian
-    by the caller
+  * scalar-prefetched per-tile [start, count) pair ranges (SMEM); segments
+    are pre-aligned to the chunk size (ops/binning.align_pairs) so the DMA
+    lane offsets are provably 128-divisible (pl.multiple_of)
+  * per-chunk async DMA of sorted pair records from HBM; records are
+    field-major (16, P) so a chunk lands as (16, C) whose field rows (1, C)
+    broadcast directly against per-pixel columns (S, 1) — no transposes
+  * work arrays are (S=256 pixels, C=chunk pairs); all cross-chunk state
+    (transmittance, accumulators, termination flags, contributor counts)
+    lives in small (S, 1) VMEM scratch refs, so the dynamic while-loop over
+    chunks carries only scalars (vector loop-carries previously spilled
+    hundreds of vregs per iteration and were ~30x slower)
+  * early exit once every pixel's transmittance chain has terminated; the
+    rare-kill corrective rescan runs under lax.cond only when some pixel
+    actually terminates in the chunk
+  * lane-axis prefix/suffix scans as log2(C) masked pltpu.roll steps
+    (cumprod/cumsum do not lower on TPU Pallas); "last column" extraction via
+    a one-hot MXU contraction to stay in the (S, 1) orientation
+  * the backward walks chunks in reverse from the per-tile max contributor,
+    reconstructing transmittance by division from T_final exactly like the
+    CUDA backward; per-pair cotangents are DMA'd into an aliased pre-zeroed
+    (16, P) buffer and segment-summed per gaussian by the caller
 
 Record rows: 0:mx 1:my 2:conic_a 3:conic_b 4:conic_c 5:opacity
 6:r 7:g 8:b 9:depth 10-15:padding. The custom VJP lives in
-ops/rasterize.py; gradients flow through the XLA-side gather that builds
-the records, so the kernel only produces d_records.
+ops/rasterize.py; gradients flow through the XLA-side gather that builds the
+records, so the kernels only produce d_records.
 """
 
 from __future__ import annotations
@@ -44,7 +51,7 @@ def _lane_iota(S, C):
 
 
 def _cumprod_lanes(x, C):
-    """Inclusive prefix product along the lane axis (log-step)."""
+    """Inclusive prefix product along the lane (chunk) axis (log-step)."""
     lane = _lane_iota(x.shape[0], C)
     sh = 1
     while sh < C:
@@ -54,7 +61,6 @@ def _cumprod_lanes(x, C):
 
 
 def _rev_cumprod_lanes(x, C):
-    """Inclusive suffix product along the lane axis."""
     lane = _lane_iota(x.shape[0], C)
     sh = 1
     while sh < C:
@@ -64,7 +70,6 @@ def _rev_cumprod_lanes(x, C):
 
 
 def _rev_cumsum_lanes(x, C):
-    """Inclusive suffix sum along the lane axis."""
     lane = _lane_iota(x.shape[0], C)
     sh = 1
     while sh < C:
@@ -82,8 +87,22 @@ def _cummax_lanes(x, C):
     return x
 
 
+def _last_col(x, C):
+    """x[:, C-1:C] as (S, 1) via a one-hot MXU contraction."""
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0) == C - 1).astype(x.dtype)
+    return jax.lax.dot_general(
+        x, onehot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _shift_right(x, first_col, C):
+    """Exclusive shift along lanes: column i gets x[i-1], column 0 first_col."""
+    lane = _lane_iota(x.shape[0], C)
+    return jnp.where(lane >= 1, pltpu.roll(x, 1, axis=1), first_col)
+
+
 def _pixel_coords(tile_id, TW: int, ts: int, S: int):
-    """(S, 1) pixel-center x/y for a flat tile id."""
+    """(S, 1) pixel x/y for a flat tile id."""
     s = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
     tx = tile_id % TW
     ty = tile_id // TW
@@ -92,8 +111,11 @@ def _pixel_coords(tile_id, TW: int, ts: int, S: int):
     return px, py
 
 
-def _chunk_alpha_from_rec(rec, px, py, valid_lane):
-    """alpha (S, C) from a record chunk rec (16, C); masks applied."""
+def _chunk_alpha(rec, px, py, valid_lane):
+    """alpha (S, C) for a record chunk rec (16, C); skip masks applied.
+
+    valid_lane: (1, C) pair validity; px/py: (S, 1).
+    """
     mx = rec[0:1, :]
     my = rec[1:2, :]
     ca = rec[2:3, :]
@@ -114,86 +136,96 @@ def _chunk_alpha_from_rec(rec, px, py, valid_lane):
 
 
 def _forward_kernel(
-    # scalar prefetch
     tile_start_ref, tile_count_ref,
-    # inputs
-    records_ref,  # (16, P) ANY/HBM
-    # outputs (per tile)
-    r_ref, g_ref, b_ref, dep_ref, tfin_ref, ncontrib_ref,  # (1, S) each
-    # scratch
-    rec_buf, dma_sem,
+    records_ref,  # (16, P) HBM
+    r_ref, g_ref, b_ref, dep_ref, tfin_ref, ncontrib_ref,  # (1, 1, S)
+    rec_buf, dma_sem, T_run_ref, done_ref, acc_ref, nc_ref,
     *, TW: int, ts: int, C: int,
 ):
     S = ts * ts
     t = pl.program_id(0)
-    start = tile_start_ref[t]
+    start = pl.multiple_of(tile_start_ref[t], C)  # segments are chunk-aligned
     count = tile_count_ref[t]
     px, py = _pixel_coords(t, TW, ts, S)
-    lane = _lane_iota(S, C)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
     n_chunks = pl.cdiv(count, C)
 
+    T_run_ref[:, :] = jnp.ones((S, 1), jnp.float32)
+    done_ref[:, :] = jnp.zeros((S, 1), jnp.float32)
+    acc_ref[:, :] = jnp.zeros((S, 4), jnp.float32)
+    nc_ref[:, :] = jnp.zeros((S, 1), jnp.int32)
+
     def cond(carry):
-        c, T_run, done, acc_r, acc_g, acc_b, acc_d, nc = carry
-        return (c < n_chunks) & jnp.logical_not(jnp.all(done))
+        c, all_done = carry
+        return (c < n_chunks) & (all_done < 0.5)
 
     def body(carry):
-        c, T_run, done, acc_r, acc_g, acc_b, acc_d, nc = carry
+        c, _ = carry
         copy = pltpu.make_async_copy(
-            records_ref.at[:, pl.ds(start + c * C, C)], rec_buf, dma_sem
+            records_ref.at[:, pl.ds(pl.multiple_of(start + c * C, C), C)], rec_buf, dma_sem
         )
         copy.start()
         copy.wait()
         rec = rec_buf[:, :]
-        k = c * C + lane  # global pair index within the tile (S, C)
+        T_run = T_run_ref[:, :]  # (S, 1)
+        done = done_ref[:, :]
+
+        k = c * C + lane1  # (1, C)
         valid = k < count
-        alpha, _ = _chunk_alpha_from_rec(rec, px, py, valid)
-        alpha = jnp.where(done, 0.0, alpha)
+        alpha, _ = _chunk_alpha(rec, px, py, valid)
+        alpha = jnp.where(done > 0.5, 0.0, alpha)  # (S, 1) mask broadcast
 
         one_minus = 1.0 - alpha
-        T_incl_raw = T_run * _cumprod_lanes(one_minus, C)
-        T_before_raw = jnp.where(lane > 0, pltpu.roll(T_incl_raw, 1, axis=1), T_run)
-        kill = (T_before_raw * one_minus < T_MIN).astype(jnp.float32)
-        killed = _cummax_lanes(kill, C) > 0.0  # inclusive
-        a_eff = jnp.where(killed, 0.0, alpha)
-        one_minus_eff = 1.0 - a_eff
-        T_incl = T_run * _cumprod_lanes(one_minus_eff, C)
-        T_before = jnp.where(lane > 0, pltpu.roll(T_incl, 1, axis=1), T_run)
+        cp_raw = _cumprod_lanes(one_minus, C)
+        T_before_raw = T_run * _shift_right(cp_raw, 1.0, C)
+        kill = T_before_raw * one_minus < T_MIN
+        any_kill = jnp.max(kill.astype(jnp.float32)) > 0.0
+
+        def with_kill(_):
+            killed = _cummax_lanes(kill.astype(jnp.float32), C)
+            a_eff = jnp.where(killed > 0.0, 0.0, alpha)
+            cp = _cumprod_lanes(1.0 - a_eff, C)
+            T_before = T_run * _shift_right(cp, 1.0, C)
+            done_new = jnp.maximum(done, _last_col(killed, C))
+            return a_eff, T_before, cp, done_new
+
+        def no_kill(_):
+            return alpha, T_before_raw, cp_raw, done
+
+        a_eff, T_before, cp, done_new = jax.lax.cond(any_kill, with_kill, no_kill, None)
         w = a_eff * T_before  # (S, C)
 
-        acc_r = acc_r + jnp.sum(w * rec[6:7, :], axis=1, keepdims=True)
-        acc_g = acc_g + jnp.sum(w * rec[7:8, :], axis=1, keepdims=True)
-        acc_b = acc_b + jnp.sum(w * rec[8:9, :], axis=1, keepdims=True)
-        acc_d = acc_d + jnp.sum(w * rec[9:10, :], axis=1, keepdims=True)
-        nc = jnp.maximum(nc, jnp.max(jnp.where(a_eff > 0.0, k + 1, 0), axis=1, keepdims=True))
-        T_run_new = T_incl[:, C - 1 :]
-        done_new = done | (jnp.max(killed.astype(jnp.int32), axis=1, keepdims=True) > 0)
-        return (c + 1, T_run_new, done_new, acc_r, acc_g, acc_b, acc_d, nc)
+        acc = acc_ref[:, :]
+        acc_ref[:, :] = acc + jnp.concatenate(
+            [
+                jnp.sum(w * rec[6:7, :], axis=1, keepdims=True),
+                jnp.sum(w * rec[7:8, :], axis=1, keepdims=True),
+                jnp.sum(w * rec[8:9, :], axis=1, keepdims=True),
+                jnp.sum(w * rec[9:10, :], axis=1, keepdims=True),
+            ],
+            axis=1,
+        )
+        nc_ref[:, :] = jnp.maximum(
+            nc_ref[:, :], jnp.max(jnp.where(a_eff > 0.0, k + 1, 0), axis=1, keepdims=True)
+        )
+        T_run_ref[:, :] = T_run * _last_col(cp, C)
+        done_ref[:, :] = done_new
+        return (c + 1, jnp.min(done_new))
 
-    init = (
-        jnp.int32(0),
-        jnp.ones((S, 1), jnp.float32),
-        jnp.zeros((S, 1), dtype=bool),
-        jnp.zeros((S, 1), jnp.float32),
-        jnp.zeros((S, 1), jnp.float32),
-        jnp.zeros((S, 1), jnp.float32),
-        jnp.zeros((S, 1), jnp.float32),
-        jnp.zeros((S, 1), jnp.int32),
-    )
-    _, T_run, _, acc_r, acc_g, acc_b, acc_d, nc = jax.lax.while_loop(cond, body, init)
-    r_ref[0, 0, :] = acc_r[:, 0]
-    g_ref[0, 0, :] = acc_g[:, 0]
-    b_ref[0, 0, :] = acc_b[:, 0]
-    dep_ref[0, 0, :] = acc_d[:, 0]
-    tfin_ref[0, 0, :] = T_run[:, 0]
-    ncontrib_ref[0, 0, :] = nc[:, 0]
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(0.0)))
+    acc = acc_ref[:, :]
+    r_ref[0, 0, :] = acc[:, 0]
+    g_ref[0, 0, :] = acc[:, 1]
+    b_ref[0, 0, :] = acc[:, 2]
+    dep_ref[0, 0, :] = acc[:, 3]
+    tfin_ref[0, 0, :] = T_run_ref[:, 0]
+    ncontrib_ref[0, 0, :] = nc_ref[:, 0]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("TW", "TH", "ts", "chunk", "interpret")
-)
+@functools.partial(jax.jit, static_argnames=("TW", "TH", "ts", "chunk", "interpret"))
 def blend_forward_pallas(
-    records,  # (16, P) float32, field-major sorted pair records
-    tile_start,  # (T,) int32
+    records,  # (16, P) float32, field-major sorted pair records (chunk-aligned)
+    tile_start,  # (T,) int32, multiples of chunk
     tile_count,  # (T,) int32
     TW: int,
     TH: int,
@@ -207,7 +239,7 @@ def blend_forward_pallas(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=[
             pl.BlockSpec((1, 1, S), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM)
             for _ in range(6)
@@ -215,6 +247,10 @@ def blend_forward_pallas(
         scratch_shapes=[
             pltpu.VMEM((REC_ROWS, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((S, 1), jnp.float32),  # T_run
+            pltpu.VMEM((S, 1), jnp.float32),  # done
+            pltpu.VMEM((S, 4), jnp.float32),  # rgb + depth accumulators
+            pltpu.VMEM((S, 1), jnp.int32),  # n_contrib
         ],
     )
     out_shape = [jax.ShapeDtypeStruct((T, 1, S), jnp.float32) for _ in range(5)] + [
@@ -237,52 +273,58 @@ def blend_forward_pallas(
 
 def _backward_kernel(
     tile_start_ref, tile_count_ref,
-    records_ref,  # (16, P) ANY
-    tfin_ref, ncontrib_ref,  # (1, S)
-    dr_ref, dg_ref, db_ref, ddep_ref, dtfin_ref,  # (1, S)
-    zeros_ref,  # (16, P) ANY — aliased to the output (pre-zeroed)
-    d_records_ref,  # (16, P) ANY (aliased, pre-zeroed)
-    rec_buf, drec_buf, dma_sem, dma_sem_out,
+    records_ref,  # (16, P) HBM
+    tfin_ref, ncontrib_ref,  # (1, 1, S)
+    dr_ref, dg_ref, db_ref, ddep_ref, dtfin_ref,  # (1, 1, S)
+    zeros_ref,  # (16, P) HBM — aliased to the output (pre-zeroed)
+    d_records_ref,  # (16, P) HBM (aliased)
+    rec_buf, drec_buf, dma_sem, dma_sem_out, T_run_ref, suf_ref,
     *, TW: int, ts: int, C: int,
 ):
     S = ts * ts
     t = pl.program_id(0)
-    start = tile_start_ref[t]
+    start = pl.multiple_of(tile_start_ref[t], C)
     count = tile_count_ref[t]
     px, py = _pixel_coords(t, TW, ts, S)
-    lane = _lane_iota(S, C)
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
 
-    T_final = tfin_ref[0, 0, :].reshape(S, 1)
-    n_contrib = ncontrib_ref[0, 0, :].reshape(S, 1)
-    d_r = dr_ref[0, 0, :].reshape(S, 1)
-    d_g = dg_ref[0, 0, :].reshape(S, 1)
-    d_b = db_ref[0, 0, :].reshape(S, 1)
-    d_dep = ddep_ref[0, 0, :].reshape(S, 1)
-    d_tf = dtfin_ref[0, 0, :].reshape(S, 1)
+    # per-tile pixel vectors, transposed once into the (S, 1) orientation
+    T_final = jnp.transpose(tfin_ref[0, :, :], (1, 0))  # (S, 1)
+    n_contrib = jnp.transpose(ncontrib_ref[0, :, :], (1, 0))
+    d_r = jnp.transpose(dr_ref[0, :, :], (1, 0))
+    d_g = jnp.transpose(dg_ref[0, :, :], (1, 0))
+    d_b = jnp.transpose(db_ref[0, :, :], (1, 0))
+    d_dep = jnp.transpose(ddep_ref[0, :, :], (1, 0))
+    d_tf = jnp.transpose(dtfin_ref[0, :, :], (1, 0))
 
     nc_max = jnp.max(n_contrib)
     n_chunks = pl.cdiv(jnp.minimum(nc_max, count), C)
 
-    def cond(carry):
-        c_rev = carry[0]
+    T_run_ref[:, :] = T_final
+    suf_ref[:, :] = jnp.zeros((S, 4), jnp.float32)
+
+    def cond(c_rev):
         return c_rev < n_chunks
 
-    def body(carry):
-        c_rev, T_run, s_r, s_g, s_b, s_d = carry
+    def body(c_rev):
         c = n_chunks - 1 - c_rev
         copy = pltpu.make_async_copy(
-            records_ref.at[:, pl.ds(start + c * C, C)], rec_buf, dma_sem
+            records_ref.at[:, pl.ds(pl.multiple_of(start + c * C, C), C)], rec_buf, dma_sem
         )
         copy.start()
         copy.wait()
         rec = rec_buf[:, :]
-        k = c * C + lane
-        valid = (k < count) & (k < n_contrib)
-        alpha_raw, power = _chunk_alpha_from_rec(rec, px, py, k < count)
-        a = jnp.where(valid, alpha_raw, 0.0)
+        T_run = T_run_ref[:, :]
+        suf = suf_ref[:, :]
+
+        k = c * C + lane1
+        in_count = k < count
+        keep = in_count & (k < n_contrib)  # (S, C)
+        alpha_raw, power = _chunk_alpha(rec, px, py, in_count)
+        a = jnp.where(keep, alpha_raw, 0.0)
         one_minus = jnp.maximum(1.0 - a, 1.0 - ALPHA_CLAMP)
         sp = _rev_cumprod_lanes(one_minus, C)  # prod_{j>=i}(1-a_j)
-        T_i = T_run / sp  # transmittance before pair i (S, C)
+        T_i = T_run / sp
         w = a * T_i
 
         colr = rec[6:7, :]
@@ -293,11 +335,10 @@ def _backward_kernel(
         cwg = w * colg
         cwb = w * colb
         zw = w * z
-        # suffix sums: S_i = carry + sum_{j>i in chunk} x_j
-        suf_r = _rev_cumsum_lanes(cwr, C) - cwr + s_r
-        suf_g = _rev_cumsum_lanes(cwg, C) - cwg + s_g
-        suf_b = _rev_cumsum_lanes(cwb, C) - cwb + s_b
-        suf_d = _rev_cumsum_lanes(zw, C) - zw + s_d
+        suf_r = _rev_cumsum_lanes(cwr, C) - cwr + suf[:, 0:1]
+        suf_g = _rev_cumsum_lanes(cwg, C) - cwg + suf[:, 1:2]
+        suf_b = _rev_cumsum_lanes(cwb, C) - cwb + suf[:, 2:3]
+        suf_d = _rev_cumsum_lanes(zw, C) - zw + suf[:, 3:4]
 
         inv_om = 1.0 / one_minus
         d_alpha = (
@@ -307,12 +348,11 @@ def _backward_kernel(
             + d_dep * (z * T_i - suf_d * inv_om)
             + d_tf * (-T_final * inv_om)
         )
-        d_alpha = jnp.where(valid & (a > 0.0), d_alpha, 0.0)
+        d_alpha = jnp.where(keep & (a > 0.0), d_alpha, 0.0)
 
         op = rec[5:6, :]
         G = jnp.exp(power)
-        unclamped = (op * G) <= ALPHA_CLAMP
-        d_alpha_eff = jnp.where(unclamped, d_alpha, 0.0)
+        d_alpha_eff = jnp.where(op * G <= ALPHA_CLAMP, d_alpha, 0.0)
         mx = rec[0:1, :]
         my = rec[1:2, :]
         ca = rec[2:3, :]
@@ -320,13 +360,14 @@ def _backward_kernel(
         cc = rec[4:5, :]
         dx = mx - px
         dy = my - py
-        d_op = jnp.sum(G * d_alpha_eff, axis=0, keepdims=True)  # (1, C)
         d_pow = a * d_alpha_eff
+        # per-pair reductions over pixels (sublane axis) -> (1, C) rows
+        d_mx = jnp.sum(-(ca * dx + cb * dy) * d_pow, axis=0, keepdims=True)
+        d_my = jnp.sum(-(cc * dy + cb * dx) * d_pow, axis=0, keepdims=True)
         d_ca = jnp.sum(-0.5 * dx * dx * d_pow, axis=0, keepdims=True)
         d_cb = jnp.sum(-dx * dy * d_pow, axis=0, keepdims=True)
         d_cc = jnp.sum(-0.5 * dy * dy * d_pow, axis=0, keepdims=True)
-        d_mx = jnp.sum(-(ca * dx + cb * dy) * d_pow, axis=0, keepdims=True)
-        d_my = jnp.sum(-(cc * dy + cb * dx) * d_pow, axis=0, keepdims=True)
+        d_op = jnp.sum(G * d_alpha_eff, axis=0, keepdims=True)
         d_colr = jnp.sum(w * d_r, axis=0, keepdims=True)
         d_colg = jnp.sum(w * d_g, axis=0, keepdims=True)
         d_colb = jnp.sum(w * d_b, axis=0, keepdims=True)
@@ -340,32 +381,35 @@ def _backward_kernel(
         )
         drec_buf[:, :] = drec
         out_copy = pltpu.make_async_copy(
-            drec_buf, d_records_ref.at[:, pl.ds(start + c * C, C)], dma_sem_out
+            drec_buf,
+            d_records_ref.at[:, pl.ds(pl.multiple_of(start + c * C, C), C)],
+            dma_sem_out,
         )
         out_copy.start()
         out_copy.wait()
 
-        T_run_new = T_run / sp[:, 0:1]  # transmittance before this chunk
-        s_r_new = s_r + jnp.sum(cwr, axis=1, keepdims=True)
-        s_g_new = s_g + jnp.sum(cwg, axis=1, keepdims=True)
-        s_b_new = s_b + jnp.sum(cwb, axis=1, keepdims=True)
-        s_d_new = s_d + jnp.sum(zw, axis=1, keepdims=True)
-        return (c_rev + 1, T_run_new, s_r_new, s_g_new, s_b_new, s_d_new)
+        # transmittance before this chunk's first pair: divide by the chunk's
+        # total product (sp column 0) via one-hot contraction
+        onehot0 = (jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0) == 0).astype(sp.dtype)
+        sp0 = jax.lax.dot_general(
+            sp, onehot0, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        T_run_ref[:, :] = T_run / sp0
+        suf_ref[:, :] = suf + jnp.concatenate(
+            [
+                jnp.sum(cwr, axis=1, keepdims=True),
+                jnp.sum(cwg, axis=1, keepdims=True),
+                jnp.sum(cwb, axis=1, keepdims=True),
+                jnp.sum(zw, axis=1, keepdims=True),
+            ],
+            axis=1,
+        )
+        return c_rev + 1
 
-    init = (
-        jnp.int32(0),
-        T_final,
-        jnp.zeros((S, 1), jnp.float32),
-        jnp.zeros((S, 1), jnp.float32),
-        jnp.zeros((S, 1), jnp.float32),
-        jnp.zeros((S, 1), jnp.float32),
-    )
-    jax.lax.while_loop(cond, body, init)
+    jax.lax.while_loop(cond, body, jnp.int32(0))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("TW", "TH", "ts", "chunk", "interpret")
-)
+@functools.partial(jax.jit, static_argnames=("TW", "TH", "ts", "chunk", "interpret"))
 def blend_backward_pallas(
     records,  # (16, P)
     tile_start,
@@ -393,7 +437,7 @@ def blend_backward_pallas(
         num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # records
+            pl.BlockSpec(memory_space=pltpu.HBM),  # records
             tile_spec(),  # T_final
             tile_spec(),  # n_contrib
             tile_spec(),  # d_r
@@ -401,14 +445,16 @@ def blend_backward_pallas(
             tile_spec(),  # d_b
             tile_spec(),  # d_dep
             tile_spec(),  # d_Tfin
-            pl.BlockSpec(memory_space=pl.ANY),  # zeros (aliased to output)
+            pl.BlockSpec(memory_space=pltpu.HBM),  # zeros (aliased to output)
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((REC_ROWS, chunk), jnp.float32),
             pltpu.VMEM((REC_ROWS, chunk), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((S, 1), jnp.float32),  # T_run
+            pltpu.VMEM((S, 4), jnp.float32),  # suffix sums
         ],
     )
     zeros = jnp.zeros((REC_ROWS, P), jnp.float32)
@@ -416,7 +462,7 @@ def blend_backward_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((REC_ROWS, P), jnp.float32),
-        input_output_aliases={10: 0},  # zeros input (after 2 scalar-prefetch args) -> output
+        input_output_aliases={10: 0},  # zeros input (after 2 scalar-prefetch args)
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(

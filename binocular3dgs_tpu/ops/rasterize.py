@@ -114,9 +114,10 @@ _blend_records_pallas.defvjp(_blend_records_pallas_fwd, _blend_records_pallas_bw
 
 
 def _blend_via_pallas(inputs: BlendInputs, binning, TW, TH, ts, chunk, interpret):
+    from .binning import align_pairs
     from .blend_pallas import REC_ROWS
 
-    P = binning.pair_gauss.shape[0]
+    binning = align_pairs(binning, chunk, TW * TH)
     fields = jnp.stack(
         [
             inputs.mean2d[:, 0],
@@ -160,7 +161,12 @@ def render_tiled(
     override_color: jnp.ndarray | None = None,
     mean2d_carrier: jnp.ndarray | None = None,
     raster: RasterConfig = _DEFAULT_RASTER,
+    tile_row_start=0,
+    tile_rows: int | None = None,
 ) -> RenderOutput:
+    """`tile_row_start` (traceable) + `tile_rows` (static) restrict rendering
+    to a horizontal band of tile rows — the pixel-parallel sharding unit; the
+    returned image then has height tile_rows * tile_size (uncropped)."""
     proj = project_gaussians(
         xyz=model.params.xyz,
         scaling=model.get_scaling(),
@@ -180,15 +186,25 @@ def render_tiled(
     W, H = camera.width, camera.height
     ts = raster.tile_size
     TW, TH = tile_grid(W, H, ts)
+    band = tile_rows is not None
+    rows = tile_rows if band else TH
     N = proj.mean2d.shape[0]
     pair_capacity = raster.pairs_per_gaussian * N
 
     binning = bin_gaussians(
-        proj.mean2d, proj.radius, proj.depth, W, H, ts, pair_capacity
+        proj.mean2d, proj.radius, proj.depth, W, H, ts, pair_capacity,
+        tile_row_start=tile_row_start, tile_rows=rows,
     )
 
+    # the blend computes pixel coords from band-local tile ids, so shift the
+    # splat centers into band-local pixel space (constant shift: carrier
+    # gradients are unaffected)
+    row_off_px = jnp.asarray(tile_row_start, jnp.float32) * ts if band else 0.0
+    mean2d_blend = proj.mean2d - jnp.stack(
+        [jnp.zeros((), jnp.float32), jnp.asarray(row_off_px, jnp.float32)]
+    )
     inputs = BlendInputs(
-        mean2d=proj.mean2d,
+        mean2d=mean2d_blend,
         conic=proj.conic,
         color=proj.color,
         opacity=proj.opacity,
@@ -200,17 +216,18 @@ def render_tiled(
     if backend == "pallas":
         interpret = jax.default_backend() != "tpu"
         rgb_t, dep_t, T_final_t = _blend_via_pallas(
-            inputs, binning, TW, TH, ts, raster.pallas_chunk, interpret
+            inputs, binning, TW, rows, ts, raster.pallas_chunk, interpret
         )
     else:
         mpt = min(raster.max_pairs_per_tile, pair_capacity)
         rgb_t, dep_t, T_final_t = _blend(
             inputs, binning.pair_gauss, binning.tile_start, binning.tile_count,
-            TW, TH, ts, mpt, raster.chunk,
+            TW, rows, ts, mpt, raster.chunk,
         )
-    rgb = _tiles_to_image(rgb_t, TW, TH, ts, H, W)
-    dep = _tiles_to_image(dep_t[..., None], TW, TH, ts, H, W)[..., 0]
-    T_final = _tiles_to_image(T_final_t[..., None], TW, TH, ts, H, W)[..., 0]
+    crop_h = rows * ts if band else H
+    rgb = _tiles_to_image(rgb_t, TW, rows, ts, crop_h, W)
+    dep = _tiles_to_image(dep_t[..., None], TW, rows, ts, crop_h, W)[..., 0]
+    T_final = _tiles_to_image(T_final_t[..., None], TW, rows, ts, crop_h, W)[..., 0]
 
     image = rgb + T_final[..., None] * bg[None, None, :]
     alpha = 1.0 - T_final

@@ -1,0 +1,111 @@
+"""Multi-chip execution: pixel-band-parallel rendering over a device mesh.
+
+The reference has no intra-job parallelism (SURVEY.md §2.4 — one scene per
+GPU). The TPU-native scaling design shards the *pixel tile rows* of each
+render across devices:
+
+  * gaussian parameters are replicated (a few-shot scene is O(100MB) at most)
+  * every device runs the full vertex stage, then bins + blends only its own
+    horizontal band of tile rows (ops/rasterize.render_tiled band mode)
+  * bands are all-gathered over ICI into the full image so the loss (which
+    has cross-band SSIM windows) is computed replicated
+  * the backward runs band-local rasterizer kernels per device; the replicated
+    parameter cotangents are psum'd by the shard_map transpose — the gradient
+    all-reduce of gaussian attributes rides ICI
+
+This scales pixels/s with device count for the hot rasterizer at the cost of
+one image all-gather (~MBs) per render. The same mesh composes with a "view"
+axis for batching independent renders (e.g. the binocular pair).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import Config, RasterConfig
+from ..core.camera import Camera
+from ..models.gaussians import GaussianModel
+from ..ops.binning import tile_grid
+from ..ops.rasterize import render_tiled
+from ..ops.rasterize_reference import RenderOutput
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "tile") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def make_sharded_render(
+    mesh: Mesh,
+    width: int,
+    height: int,
+    raster: RasterConfig | None = None,
+    axis: str = "tile",
+):
+    """A render function with the render_tiled signature that splits tile
+    rows across `mesh[axis]` and returns replicated full-image outputs."""
+    raster = raster or RasterConfig()
+    ts = raster.tile_size
+    TW, TH = tile_grid(width, height, ts)
+    ndev = mesh.shape[axis]
+    rows_per_dev = -(-TH // ndev)
+
+    def local_render(camera, model, bg, carrier):
+        d = jax.lax.axis_index(axis)
+        out = render_tiled(
+            camera, model, bg,
+            mean2d_carrier=carrier, raster=raster,
+            tile_row_start=d * rows_per_dev, tile_rows=rows_per_dev,
+        )
+        # bands -> full replicated image over ICI
+        image = jax.lax.all_gather(out.image, axis, axis=0, tiled=True)[:height]
+        depth = jax.lax.all_gather(out.depth, axis, axis=0, tiled=True)[:height]
+        alpha = jax.lax.all_gather(out.alpha, axis, axis=0, tiled=True)[:height]
+        return RenderOutput(
+            image=image, depth=depth, alpha=alpha, radii=out.radii, visible=out.visible
+        )
+
+    sharded = jax.shard_map(
+        local_render,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    def render_fn(camera: Camera, model: GaussianModel, bg, mean2d_carrier=None, **_):
+        carrier = (
+            mean2d_carrier
+            if mean2d_carrier is not None
+            else jnp.zeros((model.capacity, 2), jnp.float32)
+        )
+        return sharded(camera, model, bg, carrier)
+
+    return render_fn
+
+
+def make_sharded_train_step(
+    cfg: Config,
+    mesh: Mesh,
+    width: int,
+    height: int,
+    spatial_lr_scale: float,
+    binocular: bool = False,
+    use_alpha_weight: bool = False,
+    axis: str = "tile",
+):
+    """The full jit'd train step with the rasterizer sharded over the mesh."""
+    from ..train.step import make_train_step
+
+    render_fn = make_sharded_render(mesh, width, height, cfg.raster, axis)
+    return make_train_step(
+        render_fn, cfg, spatial_lr_scale,
+        binocular=binocular, use_alpha_weight=use_alpha_weight,
+    )

@@ -1,0 +1,94 @@
+"""Sharded rendering/training on the virtual 8-device CPU mesh: parity with
+the single-device path (the SURVEY §4.4 distributed-test substitute)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from binocular3dgs_tpu.config import Config, RasterConfig
+from binocular3dgs_tpu.core.camera import make_camera
+from binocular3dgs_tpu.ops.rasterize import render_tiled
+from binocular3dgs_tpu.parallel.sharding import make_mesh, make_sharded_render, make_sharded_train_step
+from binocular3dgs_tpu.train.state import init_train_state
+from binocular3dgs_tpu.train.step import make_train_step
+
+from test_rasterize_tiled import random_scene
+
+W, H = 64, 48
+RASTER = RasterConfig(backend="xla", max_pairs_per_tile=256, chunk=8)
+
+
+def camera():
+    return make_camera(np.eye(3), np.zeros(3), 0.9, 0.7, W, H)
+
+
+class TestShardedRender:
+    @pytest.mark.parametrize("ndev", [2, 8])
+    def test_matches_single_device(self, ndev):
+        cam = camera()
+        m = random_scene(seed=0, n=48)
+        bg = jnp.asarray([0.2, 0.1, 0.3])
+        mesh = make_mesh(ndev)
+        render_sharded = make_sharded_render(mesh, W, H, RASTER)
+        out_s = jax.jit(lambda mm: render_sharded(cam, mm, bg))(m)
+        out_1 = render_tiled(cam, m, bg, raster=RASTER)
+        np.testing.assert_allclose(out_s.image, out_1.image, atol=1e-5)
+        np.testing.assert_allclose(out_s.depth, out_1.depth, atol=1e-4)
+        np.testing.assert_allclose(out_s.alpha, out_1.alpha, atol=1e-5)
+        np.testing.assert_allclose(out_s.radii, out_1.radii)
+
+    def test_gradients_match_with_psum(self):
+        cam = camera()
+        m = random_scene(seed=1, n=32)
+        bg = jnp.zeros(3)
+        tgt = jnp.asarray(np.random.default_rng(2).random((H, W, 3)).astype(np.float32))
+        mesh = make_mesh(4)
+        render_sharded = make_sharded_render(mesh, W, H, RASTER)
+
+        def loss(render_fn, params):
+            out = render_fn(cam, m.replace(params=params), bg, mean2d_carrier=None)
+            return jnp.mean((out.image - tgt) ** 2) + 0.1 * jnp.mean(out.alpha)
+
+        g1 = jax.grad(lambda p: loss(lambda *a, **k: render_tiled(*a, raster=RASTER, **k), p))(
+            m.params
+        )
+        gs = jax.grad(lambda p: loss(render_sharded, p))(m.params)
+        for name in ("xyz", "f_dc", "opacity", "scaling", "rotation"):
+            a, b = np.asarray(getattr(g1, name)), np.asarray(getattr(gs, name))
+            scale = np.abs(a).max() + 1e-8
+            np.testing.assert_allclose(b, a, atol=1e-2 * scale, err_msg=name)
+
+
+class TestShardedTrainStep:
+    def test_step_matches_single_device(self):
+        cfg = Config()
+        cfg.raster = RASTER
+        cfg.opt.densify_from_iter = 10_000
+        m = random_scene(seed=3, n=40, cap=64)
+        state = init_train_state(m)
+        cam = camera()
+        gt = jnp.asarray(np.random.default_rng(4).random((H, W, 3)).astype(np.float32))
+        aw = jnp.zeros((H, W))
+        key = jax.random.PRNGKey(0)
+
+        step_1 = make_train_step(
+            lambda *a, **k: render_tiled(*a, raster=RASTER, **k),
+            cfg, 1.0, binocular=True, use_alpha_weight=False,
+        )
+        mesh = make_mesh(8)
+        step_8 = make_sharded_train_step(cfg, mesh, W, H, 1.0, binocular=True)
+
+        s1, m1 = step_1(state, cam, gt, aw, jnp.int32(1), key, jnp.zeros(3))
+        s8, m8 = step_8(state, cam, gt, aw, jnp.int32(1), key, jnp.zeros(3))
+        np.testing.assert_allclose(float(m8.loss), float(m1.loss), rtol=1e-5)
+        np.testing.assert_allclose(
+            float(m8.disparity_loss), float(m1.disparity_loss), rtol=1e-4
+        )
+        for name in ("xyz", "opacity", "scaling"):
+            a = np.asarray(getattr(s1.model.params, name))
+            b = np.asarray(getattr(s8.model.params, name))
+            np.testing.assert_allclose(b, a, atol=2e-5, err_msg=name)
+        np.testing.assert_allclose(
+            np.asarray(s8.grad_accum), np.asarray(s1.grad_accum), atol=1e-4
+        )
