@@ -304,7 +304,7 @@ def cmd_aggregate(argv):
 def cmd_triangulate(argv):
     # reference submodules/dense_matcher/triangulate.py CLI
     p = argparse.ArgumentParser("triangulate")
-    p.add_argument("--scene_path", type=str, required=True)
+    p.add_argument("--scene_path", "-s", type=str, required=True)
     p.add_argument("--output_path", type=str, default="keypoints_to_3d/LLFF")
     p.add_argument("--images", type=str, default="images")
     p.add_argument("--dataset_name", type=str, default="LLFF")
@@ -334,6 +334,13 @@ def cmd_triangulate(argv):
     print(f"wrote {ply}")
 
 
+def cmd_run(argv):
+    # reference script/run_llff.py / run_dtu.py / run_blender.py dispatcher
+    from .orchestrate import main as orchestrate_main
+
+    return orchestrate_main(argv)
+
+
 COMMANDS = {
     "train": cmd_train,
     "triangulate": cmd_triangulate,
@@ -341,6 +348,7 @@ COMMANDS = {
     "spiral": cmd_spiral,
     "metrics": cmd_metrics,
     "aggregate": cmd_aggregate,
+    "run": cmd_run,
 }
 
 

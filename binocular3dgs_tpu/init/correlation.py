@@ -37,6 +37,29 @@ def local_correlation(ref: jnp.ndarray, query: jnp.ndarray, md: int = 4) -> jnp.
     return jnp.stack(outs, axis=-1)
 
 
+def local_correlation_transpose(v: jnp.ndarray, feat: jnp.ndarray, md: int = 4) -> jnp.ndarray:
+    """Adjoint of `local_correlation` in its first argument (the CuPy
+    `FunctionCorrelationTranspose`, reference correlation.py:112-174 —
+    `kernel_Correlation_updateGradFirst` semantics):
+
+        out[b, y, x, c] = (1/C) * sum_{dy,dx} v[b, y, x, d(dy,dx)]
+                                             * feat[b, y+dy, x+dx, c]
+
+    v: (B, H, W, (2*md+1)^2); feat: (B, H, W, C) -> (B, H, W, C).
+    """
+    B, H, W, C = feat.shape
+    pad = md
+    fp = jnp.pad(feat, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    out = jnp.zeros_like(feat)
+    k = 0
+    for dy in range(-md, md + 1):
+        for dx in range(-md, md + 1):
+            shifted = fp[:, pad + dy : pad + dy + H, pad + dx : pad + dx + W, :]
+            out = out + v[..., k : k + 1] * shifted
+            k += 1
+    return out / C
+
+
 def global_correlation(ref: jnp.ndarray, query: jnp.ndarray) -> jnp.ndarray:
     """Full global correlation (B, H, W, H*W): every ref position against
     every query position (reference GlobalFeatureCorrelationLayer behavior,

@@ -113,11 +113,80 @@ def sample_patches(img: np.ndarray, uv: np.ndarray, half_patch_size: int) -> np.
     return grid_sample_bilinear(img, grid)
 
 
-def _gaussian_window(size, sigma=1.5):
+def _gaussian_1d(size, sigma=1.5):
     xs = np.arange(size) - size // 2
     g = np.exp(-(xs**2) / (2 * sigma**2))
-    g = g / g.sum()
+    return g / g.sum()
+
+
+def _gaussian_window(size, sigma=1.5):
+    g = _gaussian_1d(size, sigma)
     return np.outer(g, g)
+
+
+def _blur_matrix(w: int) -> np.ndarray:
+    """Banded matrix B s.t. (B @ x) is the 1-D Gaussian 'SAME' zero-padded
+    convolution along an axis of length w: B[a, i] = g[i - a + w//2]."""
+    g = _gaussian_1d(w)
+    c = w // 2
+    a = np.arange(w)
+    idx = a[None, :] - a[:, None] + c  # (out, in)
+    B = np.where((idx >= 0) & (idx < w), g[np.clip(idx, 0, w - 1)], 0.0)
+    return B
+
+
+def grid_sample_bilinear_jax(img, grid):
+    """`grid_sample_bilinear` in jnp (bilinear, zero padding,
+    align_corners=False); jit/vmap-friendly. img (H, W, C); grid (..., 2)."""
+    import jax.numpy as jnp
+
+    H, W = img.shape[:2]
+    gx = (grid[..., 0] + 1.0) * W / 2.0 - 0.5
+    gy = (grid[..., 1] + 1.0) * H / 2.0 - 0.5
+    x0 = jnp.floor(gx).astype(jnp.int32)
+    y0 = jnp.floor(gy).astype(jnp.int32)
+    out = jnp.zeros(grid.shape[:-1] + (img.shape[-1],), dtype=img.dtype)
+    for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        xi, yi = x0 + dx, y0 + dy
+        wgt = (1 - jnp.abs(gx - xi)) * (1 - jnp.abs(gy - yi))
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        xi_c = jnp.clip(xi, 0, W - 1)
+        yi_c = jnp.clip(yi, 0, H - 1)
+        out = out + jnp.where(valid[..., None], wgt[..., None] * img[yi_c, xi_c], 0.0)
+    return out
+
+
+def sample_patches_jax(img, uv, half_patch_size: int):
+    """`sample_patches` in jnp: (N, w^2, C) patches centered at uv (N, 2)."""
+    import jax.numpy as jnp
+
+    H, W = img.shape[:2]
+    offset = jnp.asarray(build_patch_offset(half_patch_size), img.dtype)
+    grid_pix = uv[:, None, :] + offset[None, :, :]
+    grid = grid_pix * 2.0 / jnp.asarray([W, H], img.dtype) - 1.0
+    return grid_sample_bilinear_jax(img, grid)
+
+
+def patch_ssim_jax(pred, gt, half_patch_size: int):
+    """`patch_ssim` in jnp (separable banded-matmul Gaussian blur)."""
+    import jax.numpy as jnp
+
+    w = 2 * half_patch_size + 1
+    N = pred.shape[0]
+    B = jnp.asarray(_blur_matrix(w), pred.dtype)
+    p = pred.reshape(N, w, w, -1)
+    g = gt.reshape(N, w, w, -1)
+
+    def blur(x):
+        return jnp.einsum("ai,nijc,bj->nabc", B, x, B)
+
+    mu1, mu2 = blur(p), blur(g)
+    s1 = blur(p * p) - mu1 * mu1
+    s2 = blur(g * g) - mu2 * mu2
+    s12 = blur(p * g) - mu1 * mu2
+    c1, c2 = 0.01**2, 0.03**2
+    m = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / ((mu1**2 + mu2**2 + c1) * (s1 + s2 + c2))
+    return m.mean(axis=(1, 2, 3))
 
 
 def patch_ssim(pred: np.ndarray, gt: np.ndarray, half_patch_size: int) -> np.ndarray:
@@ -125,22 +194,19 @@ def patch_ssim(pred: np.ndarray, gt: np.ndarray, half_patch_size: int) -> np.nda
 
     pred, gt: (N, w^2, 3) patches. Gaussian-window SSIM over the (w, w)
     patch with 'SAME' zero padding, averaged over pixels and channels.
+    The separable Gaussian blur is two banded matmuls over all patches at
+    once (the reference loops a conv2d; a per-patch scipy loop is ~1000x
+    slower at LLFF growth scale).
     """
-    from scipy.ndimage import convolve
-
     w = 2 * half_patch_size + 1
     N = pred.shape[0]
-    win = _gaussian_window(w)
+    B = _blur_matrix(w)
     p = pred.reshape(N, w, w, 3)
     g = gt.reshape(N, w, w, 3)
 
     def blur(x):
-        # (N, w, w, 3) conv per channel with zero padding
-        out = np.empty_like(x)
-        for c in range(3):
-            for i in range(x.shape[0]):
-                out[i, :, :, c] = convolve(x[i, :, :, c], win, mode="constant")
-        return out
+        # rows then cols: out[n,a,b,c] = sum_{i,j} B[a,i] B[b,j] x[n,i,j,c]
+        return np.einsum("ai,nijc,bj->nabc", B, x, B, optimize=True)
 
     mu1, mu2 = blur(p), blur(g)
     s1 = blur(p * p) - mu1 * mu1

@@ -100,17 +100,23 @@ class FarnebackMatcher:
 
 
 class PDCNetPlusMatcher:
-    """PDCNet+ (JAX) — requires a converted megadepth checkpoint."""
+    """PDCNet+ (JAX port, see pdcnet/) — needs a converted megadepth
+    checkpoint (.pth via torch, or .npz via pdcnet.convert)."""
 
-    def __init__(self, weights_path: str | None = None):
+    def __init__(self, weights_path: str | None = None, **inference_parameters):
         if weights_path is None:
-            raise NotImplementedError(
-                "PDCNet+ inference requires a converted checkpoint "
-                "(reference pre_trained_models/PDCNet_plus_megadepth.pth); "
-                "convert it with binocular3dgs_tpu.init.pdcnet tools or use "
-                "FarnebackMatcher for a weight-free classical fallback."
+            raise ValueError(
+                "PDCNet+ inference requires a checkpoint (reference "
+                "pre_trained_models/PDCNet_plus_megadepth.pth or a converted "
+                ".npz); use FarnebackMatcher for a weight-free classical "
+                "fallback."
             )
-        raise NotImplementedError("PDCNet+ JAX port lands in a later round")
+        from .pdcnet import PDCNetPlus
+
+        self.net = PDCNetPlus(weights_path, inference_parameters or None)
+
+    def get_matches_and_confidence(self, ref_image, src_image) -> dict:
+        return self.net.get_matches_and_confidence(ref_image, src_image)
 
 
 def select_matcher(name: str = "farneback", **kwargs):

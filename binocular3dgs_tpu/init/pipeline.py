@@ -145,15 +145,54 @@ def triangulate_pairs(images, K, c2ws, train_indices, matcher, cfg: TriangulateC
     return np.concatenate(points_all), np.concatenate(colors_all)
 
 
+def _make_candidate_scorer(h_patch_size: int):
+    """jit'd growth-iteration scorer: project candidates into both views,
+    sample 11x11 patches, patch-SSIM, mask out-of-bounds. Static shapes
+    (fixed candidate count / image size) so one compile serves all 1000
+    growth iterations; runs on whatever backend is active (TPU when
+    unforced). This is the hot path of the reference's growth loop
+    (`triangulate.py:247-379`), which runs per-candidate torch kernels."""
+    import jax
+    import jax.numpy as jnp
+
+    def score(cand, ref_img, src_img, w2c_ref, w2c_src, focal, center):
+        H, W = ref_img.shape[:2]
+
+        def project(pts, w2c):
+            x = pts @ w2c[:3, :3].T + w2c[:3, 3]
+            return x[:, :2] / x[:, 2:3] * focal + center
+
+        ref_uv = project(cand, w2c_ref)
+        src_uv = project(cand, w2c_src)
+        in_ref = (ref_uv[:, 0] >= 0) & (ref_uv[:, 0] < W) & (ref_uv[:, 1] >= 0) & (ref_uv[:, 1] < H)
+        in_src = (src_uv[:, 0] >= 0) & (src_uv[:, 0] < W) & (src_uv[:, 1] >= 0) & (src_uv[:, 1] < H)
+        ref_patch = geometry.sample_patches_jax(ref_img, ref_uv, h_patch_size)
+        src_patch = geometry.sample_patches_jax(src_img, src_uv, h_patch_size)
+        ssim_vals = geometry.patch_ssim_jax(src_patch, ref_patch, h_patch_size)
+        return ssim_vals * (in_ref & in_src)
+
+    return jax.jit(score)
+
+
 def grow_points_llff(points, colors, images, K, c2ws, train_indices, cfg: TriangulateConfig):
-    """SSIM-guided random growth (reference `triangulate.py:247-379`)."""
+    """SSIM-guided random growth (reference `triangulate.py:247-379`).
+
+    Host numpy drives RNG, accumulation, and pixel-dedup (data-dependent
+    shapes); the per-iteration candidate scoring is a jit'd JAX kernel."""
+    import jax.numpy as jnp
+
     rng = np.random.default_rng(cfg.seed)
     focal = np.array([K[0, 0], K[1, 1]])
     center = np.array([K[0, 2], K[1, 2]])
     H, W = images[train_indices[0]].shape[:2]
-    image_wh = np.array([W - 1, H - 1], dtype=np.float64)
     points_all = points.astype(np.float64)
     colors_all = colors.astype(np.float64)
+
+    scorer = _make_candidate_scorer(cfg.h_patch_size)
+    imgs_f32 = {t: jnp.asarray(images[t], jnp.float32) / 255.0 for t in train_indices}
+    w2cs = {t: jnp.asarray(np.linalg.inv(c2ws[t]), jnp.float32) for t in train_indices}
+    focal_j = jnp.asarray(focal, jnp.float32)
+    center_j = jnp.asarray(center, jnp.float32)
 
     def project(pts, c2w):
         w2c = np.linalg.inv(c2w)
@@ -165,8 +204,6 @@ def grow_points_llff(points, colors, images, K, c2ws, train_indices, cfg: Triang
         ref_i = train_indices[rng.integers(len(train_indices))]
         others = [t for t in train_indices if t != ref_i]
         src_i = others[rng.integers(len(others))]
-        ref_img = images[ref_i].astype(np.float64) / 255.0
-        src_img = images[src_i].astype(np.float64) / 255.0
 
         seeds = points_all[rng.permutation(len(points_all))[: cfg.sample_points_num]]
         rand_p = seeds[:, None, :] + rng.normal(
@@ -174,16 +211,12 @@ def grow_points_llff(points, colors, images, K, c2ws, train_indices, cfg: Triang
         ) * cfg.growth_alpha
         cand = rand_p.reshape(-1, 3)
 
-        ref_uv = project(cand, c2ws[ref_i])
-        src_uv = project(cand, c2ws[src_i])
-        in_ref = (ref_uv[:, 0] >= 0) & (ref_uv[:, 0] < W) & (ref_uv[:, 1] >= 0) & (ref_uv[:, 1] < H)
-        in_src = (src_uv[:, 0] >= 0) & (src_uv[:, 0] < W) & (src_uv[:, 1] >= 0) & (src_uv[:, 1] < H)
-        patch_mask = in_ref & in_src
-
-        ref_patch = geometry.sample_patches(ref_img, ref_uv, cfg.h_patch_size)
-        src_patch = geometry.sample_patches(src_img, src_uv, cfg.h_patch_size)
-        ssim_vals = geometry.patch_ssim(src_patch, ref_patch, cfg.h_patch_size)
-        ssim_vals = ssim_vals * patch_mask
+        ssim_vals = np.asarray(
+            scorer(
+                jnp.asarray(cand, jnp.float32), imgs_f32[ref_i], imgs_f32[src_i],
+                w2cs[ref_i], w2cs[src_i], focal_j, center_j,
+            )
+        )
 
         selected = ssim_vals >= cfg.ssim_threshold
         new_points = cand[selected]
@@ -223,6 +256,7 @@ def grow_points_llff(points, colors, images, K, c2ws, train_indices, cfg: Triang
         )
         if keep.sum() == 0:
             continue
+        ref_img = images[ref_i].astype(np.float64) / 255.0
         new_colors = geometry.sample_colors_at(ref_img, ref_uv_new[keep]) * 255.0
         points_all = np.concatenate([points_all, new_points[keep]])
         colors_all = np.concatenate([colors_all, new_colors])

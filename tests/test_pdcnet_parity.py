@@ -1,0 +1,311 @@
+"""Numerical parity of the JAX PDCNet+ port against the reference torch
+implementation (run on CPU with random weights via tests/pdcnet_ref.py).
+
+Layer-level tests localize failures; the full-model test is the contract:
+same random state_dict -> same flows and uncertainties.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir("/root/reference/submodules/dense_matcher"),
+    reason="reference checkout not available",
+)
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from binocular3dgs_tpu.init.pdcnet import layers as L  # noqa: E402
+from binocular3dgs_tpu.init.pdcnet.convert import convert_state_dict  # noqa: E402
+
+
+def _rand(*shape, seed=0):
+    return np.random.default_rng(seed).standard_normal(shape).astype(np.float32)
+
+
+def _nhwc(t):
+    return np.moveaxis(np.asarray(t.detach()), 1, -1)
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def test_conv2d_matches_torch():
+    tconv = torch.nn.Conv2d(5, 7, 3, padding=1)
+    x = torch.randn(2, 5, 9, 11)
+    want = _nhwc(tconv(x))
+    p = convert_state_dict({"c.weight": tconv.weight, "c.bias": tconv.bias})
+    got = np.asarray(L.conv2d(jnp.asarray(_nhwc(x)), p, "c"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_conv_transpose2d_matches_torch():
+    tconv = torch.nn.ConvTranspose2d(5, 3, 4, stride=2, padding=1)
+    x = torch.randn(2, 5, 8, 10)
+    want = _nhwc(tconv(x))
+    p = convert_state_dict({"deconv4.weight": tconv.weight, "deconv4.bias": tconv.bias})
+    got = np.asarray(L.conv_transpose2d(jnp.asarray(_nhwc(x)), p, "deconv4"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_batch_norm_matches_torch_eval():
+    bn = torch.nn.BatchNorm2d(6)
+    bn.running_mean.normal_()
+    bn.running_var.uniform_(0.5, 2.0)
+    bn.weight.data.normal_()
+    bn.bias.data.normal_()
+    bn.eval()
+    x = torch.randn(2, 6, 5, 5)
+    want = _nhwc(bn(x))
+    p = convert_state_dict({f"b.{k}": v for k, v in bn.state_dict().items()})
+    got = np.asarray(L.batch_norm(jnp.asarray(_nhwc(x)), p, "b"))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("align", [False, True])
+@pytest.mark.parametrize("size", [(13, 17), (5, 4)])
+def test_resize_bilinear_matches_torch(align, size):
+    x = torch.randn(2, 3, 9, 7)
+    want = _nhwc(torch.nn.functional.interpolate(x, size=size, mode="bilinear",
+                                                 align_corners=align))
+    got = np.asarray(L.resize_bilinear(jnp.asarray(_nhwc(x)), size, align_corners=align))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("size", [(16, 16), (7, 9), (256, 256)])
+def test_resize_area_matches_torch(size):
+    x = torch.randn(1, 3, 37, 53)
+    want = _nhwc(torch.nn.functional.interpolate(x, size=size, mode="area"))
+    got = np.asarray(L.resize_area(jnp.asarray(_nhwc(x)), size))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_warp_matches_torch_grid_sample():
+    x = torch.randn(2, 4, 12, 10)
+    flow = torch.randn(2, 2, 12, 10) * 3.0
+
+    B, C, H, W = x.shape
+    xx = torch.arange(W).view(1, -1).repeat(H, 1)
+    yy = torch.arange(H).view(-1, 1).repeat(1, W)
+    grid = torch.cat(
+        [xx.view(1, 1, H, W).repeat(B, 1, 1, 1), yy.view(1, 1, H, W).repeat(B, 1, 1, 1)], 1
+    ).float()
+    vgrid = grid + flow
+    vgrid[:, 0] = 2.0 * vgrid[:, 0] / max(W - 1, 1) - 1.0
+    vgrid[:, 1] = 2.0 * vgrid[:, 1] / max(H - 1, 1) - 1.0
+    want = _nhwc(torch.nn.functional.grid_sample(
+        x, vgrid.permute(0, 2, 3, 1), align_corners=True))
+
+    got = np.asarray(L.warp(jnp.asarray(_nhwc(x)), jnp.asarray(_nhwc(flow))))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_local_correlation_matches_fallback():
+    from binocular3dgs_tpu.init.correlation import (
+        local_correlation,
+        local_correlation_transpose,
+    )
+    from tests.pdcnet_ref import torch_local_corr, torch_local_corr_transpose
+
+    a = torch.randn(2, 8, 10, 12)
+    b = torch.randn(2, 8, 10, 12)
+    want = _nhwc(torch_local_corr(a, b))
+    got = np.asarray(local_correlation(jnp.asarray(_nhwc(a)), jnp.asarray(_nhwc(b))))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    v = torch.randn(2, 81, 10, 12)
+    want_t = _nhwc(torch_local_corr_transpose(v, b))
+    got_t = np.asarray(
+        local_correlation_transpose(jnp.asarray(_nhwc(v)), jnp.asarray(_nhwc(b)))
+    )
+    np.testing.assert_allclose(got_t, want_t, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# GOCor + SeparableConv4d
+# ---------------------------------------------------------------------------
+
+
+def test_separable_conv4d_matches_torch():
+    from tests.pdcnet_ref import _install_stubs
+
+    _install_stubs()
+    from third_party.GOCor.GOCor import fourdim
+
+    from binocular3dgs_tpu.init.pdcnet.gocor import (
+        separable_conv4d,
+        separable_conv4d_transpose,
+    )
+
+    torch.manual_seed(3)
+    reg = fourdim.SeparableConv4d(kernel_size=3, inter_dim=16, output_dim=16,
+                                  bias=False, permute_back_output=False)
+    reg.weight1.data.normal_(0, 1e-1)
+    reg.weight2.data.normal_(0, 1e-1)
+    p = convert_state_dict({"r.weight1": reg.weight1, "r.weight2": reg.weight2})
+
+    x = torch.randn(2, 6, 5, 6, 5)  # (b, H, W, H2, W2)
+    want = reg(x).detach().numpy()
+    got = np.asarray(separable_conv4d(jnp.asarray(x.numpy()), p, "r"))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    y = torch.randn(2, 6, 5, 16, 6, 5)  # (b, H2, W2, out, H, W)
+    want_t = reg(y, transpose=True).detach().numpy()
+    got_t = np.asarray(separable_conv4d_transpose(jnp.asarray(y.numpy()), p, "r"))
+    np.testing.assert_allclose(got_t, want_t, rtol=1e-4, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def ref_net():
+    from tests.pdcnet_ref import build_reference_pdcnet, jax_params_from
+
+    net = build_reference_pdcnet(seed=0)
+    params = {k: jnp.asarray(v) for k, v in jax_params_from(net).items()}
+    return net, params
+
+
+def test_global_gocor_matches_reference(ref_net):
+    from binocular3dgs_tpu.init.pdcnet.gocor import global_gocor
+    from binocular3dgs_tpu.init.pdcnet.layers import l2norm
+
+    net, params = ref_net
+    torch.manual_seed(11)
+    c14 = torch.randn(1, 512, 16, 16)
+    c24 = torch.randn(1, 512, 16, 16)
+    with torch.no_grad():
+        want, _ = net.corr(net.l2norm(c14), net.l2norm(c24))
+    want = _nhwc(want)
+
+    ref = l2norm(jnp.asarray(_nhwc(c14)))
+    qry = l2norm(jnp.asarray(_nhwc(c24)))
+    got = np.asarray(global_gocor(ref, qry, params))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_local_gocor_matches_reference(ref_net):
+    from binocular3dgs_tpu.init.pdcnet.gocor import local_gocor
+
+    net, params = ref_net
+    torch.manual_seed(12)
+    c_t = torch.randn(1, 64, 16, 20)
+    c_s = torch.randn(1, 64, 16, 20)
+    with torch.no_grad():
+        want = _nhwc(net.local_corr(c_t, c_s))
+    got = np.asarray(
+        local_gocor(jnp.asarray(_nhwc(c_t)), jnp.asarray(_nhwc(c_s)), params)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# full model
+# ---------------------------------------------------------------------------
+
+
+def test_pdcnet_forward_matches_reference(ref_net):
+    from binocular3dgs_tpu.init.pdcnet.model import pdcnet_forward
+
+    net, params = ref_net
+    torch.manual_seed(21)
+    h, w = 64, 80
+    im_t = torch.randn(1, 3, h, w)
+    im_s = torch.randn(1, 3, h, w)
+    im_t256 = torch.randn(1, 3, 256, 256)
+    im_s256 = torch.randn(1, 3, 256, 256)
+    with torch.no_grad():
+        out256_ref, out_ref = net(im_t, im_s, im_t256, im_s256)
+
+    out256, out = pdcnet_forward(
+        jnp.asarray(_nhwc(im_t)), jnp.asarray(_nhwc(im_s)),
+        jnp.asarray(_nhwc(im_t256)), jnp.asarray(_nhwc(im_s256)), params,
+    )
+
+    for lvl in range(2):
+        np.testing.assert_allclose(
+            np.asarray(out256["flow_estimates"][lvl]),
+            _nhwc(out256_ref["flow_estimates"][lvl]),
+            rtol=1e-3, atol=5e-3, err_msg=f"L-Net flow level {lvl}",
+        )
+    for lvl in range(2):
+        np.testing.assert_allclose(
+            np.asarray(out["flow_estimates"][lvl]),
+            _nhwc(out_ref["flow_estimates"][lvl]),
+            rtol=1e-3, atol=5e-3, err_msg=f"H-Net flow level {lvl}",
+        )
+        want_logvar = _nhwc(out_ref["uncertainty_estimates"][lvl][0])
+        want_weight = _nhwc(out_ref["uncertainty_estimates"][lvl][1])
+        np.testing.assert_allclose(
+            np.asarray(out["uncertainty_estimates"][lvl][0]), want_logvar,
+            rtol=1e-3, atol=5e-3, err_msg=f"log_var level {lvl}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["uncertainty_estimates"][lvl][1]), want_weight,
+            rtol=1e-3, atol=5e-3, err_msg=f"weight level {lvl}",
+        )
+
+
+# ---------------------------------------------------------------------------
+# inference engine
+# ---------------------------------------------------------------------------
+
+
+def test_direct_inference_matches_reference(ref_net):
+    """Full direct path incl. pre-processing (area resize + imagenet norm),
+    flow rescaling, and P_R confidence (reference base_pdcnet.py:645-757)."""
+    from binocular3dgs_tpu.init.pdcnet.inference import PDCNetPlus
+    from tests.pdcnet_ref import jax_params_from
+
+    net, _ = ref_net
+    net.set_inference_parameters(
+        confidence_R=1.0, ransac_thresh=1.0, multi_stage_type="d",
+        mask_type_for_2_stage_alignment="proba_interval_1_above_10",
+        compute_cyclic_consistency_error=False,
+    )
+    net.device = torch.device("cpu")
+
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 255, (60, 88, 3)).astype(np.uint8)
+    tgt = rng.integers(0, 255, (60, 88, 3)).astype(np.uint8)
+
+    src_t = torch.from_numpy(src).permute(2, 0, 1).unsqueeze(0).float()
+    tgt_t = torch.from_numpy(tgt).permute(2, 0, 1).unsqueeze(0).float()
+    with torch.no_grad():
+        flow_ref, unc_ref = net.estimate_flow_and_confidence_map(src_t, tgt_t, scaling=0.25)
+
+    jnet = PDCNetPlus(jax_params_from(net), {
+        "multi_stage_type": "d", "compute_cyclic_consistency_error": False,
+    })
+    flow, unc = jnet.estimate_flow_and_confidence_map(src, tgt, scaling=0.25)
+
+    np.testing.assert_allclose(flow[0], _nhwc(flow_ref)[0], rtol=1e-3, atol=5e-3)
+    np.testing.assert_allclose(
+        unc["p_r"][0, ..., 0], unc_ref["p_r"].squeeze().numpy(), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_get_matches_and_confidence_contract(ref_net):
+    """Match extraction keeps the reference dict contract
+    (base_pdcnet.py:518-570) and the kp/conf arrays are consistent."""
+    from binocular3dgs_tpu.init.pdcnet.inference import PDCNetPlus
+    from tests.pdcnet_ref import jax_params_from
+
+    net, _ = ref_net
+    rng = np.random.default_rng(9)
+    ref_img = rng.integers(0, 255, (64, 96, 3)).astype(np.uint8)
+    src_img = rng.integers(0, 255, (64, 96, 3)).astype(np.uint8)
+    jnet = PDCNetPlus(jax_params_from(net), {
+        "multi_stage_type": "d", "compute_cyclic_consistency_error": True,
+    })
+    pred = jnet.get_matches_and_confidence(ref_img, src_img, min_number_of_pts=0)
+    assert set(pred) >= {"kp_source", "kp_target", "confidence_value"}
+    n = len(pred["confidence_value"])
+    assert pred["kp_source"].shape == (n, 2)
+    assert pred["kp_target"].shape == (n, 2)
+    if n > 1:
+        assert (np.diff(pred["confidence_value"]) <= 1e-6).all()
