@@ -89,7 +89,10 @@ class RasterConfig:
     # Blend backend: "auto" (pallas on TPU, xla elsewhere), "xla", or "pallas"
     # (pallas runs in interpreter mode off-TPU).
     backend: str = "auto"
-    # Pair chunk length for the pallas kernels (lane dimension; power of two).
+    # Pair chunk length for the pallas kernels (lane dimension). Must be a
+    # multiple of 128 on real TPU hardware — the record DMA slices the lane
+    # axis by it (Mosaic tiling constraint); smaller values only work in
+    # interpret mode.
     pallas_chunk: int = 128
     # Numerical constants of the CUDA rasterizer behavior spec (SURVEY.md §3.5)
     alpha_min: float = 1.0 / 255.0

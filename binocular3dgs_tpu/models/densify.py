@@ -50,6 +50,22 @@ def opacity_decay(state: TrainState, factor: float) -> TrainState:
     )
 
 
+def reset_opacity(state: TrainState) -> TrainState:
+    """opacity <- sigmoid^-1(min(sigmoid(opacity), 0.01)), Adam moments of the
+    opacity group zeroed (reference `scene/gaussian_model.py:210-213` via
+    `replace_tensor_to_optimizer` `:257-263`). Part of GaussianModel's API
+    surface; the binocular protocol never calls it (`train.py:188-193` is
+    commented out), matching `densify_and_prune(max_screen_size=None)`."""
+    p = state.model.params
+    new_op = inverse_sigmoid(jnp.minimum(jax.nn.sigmoid(p.opacity), 0.01))
+    new_op = jnp.where(state.model.active[:, None], new_op, p.opacity)
+    return state.replace(
+        model=state.model.replace(params=p.replace(opacity=new_op)),
+        adam_m=state.adam_m.replace(opacity=jnp.zeros_like(state.adam_m.opacity)),
+        adam_v=state.adam_v.replace(opacity=jnp.zeros_like(state.adam_v.opacity)),
+    )
+
+
 def _scatter_compact(
     candidates: list[GaussianParams],
     cand_m: list[GaussianParams],
@@ -94,7 +110,16 @@ def densify_and_prune(
     extent: float,
     percent_dense: float,
     key: jax.Array,
+    max_screen_size: float | None = None,
 ) -> DensifyResult:
+    """`max_screen_size` enables size pruning (reference
+    `scene/gaussian_model.py:397-404`: `max_radii2D > max_screen_size` OR
+    world-space `max scale > 0.1 * extent`). The binocular protocol forces it
+    None (`train.py:185-186`). Note the reference's own call path zeroes
+    `max_radii2D` in `densification_postfix` (`:350-352`) before the prune, so
+    its view-space branch can never fire; we implement the upstream-3DGS
+    intent and test it against the *pre-densify* `state.max_radii2d` (split
+    children, being new points, are exempt from the view-space check)."""
     model = state.model
     p = model.params
     cap = model.capacity
@@ -112,10 +137,17 @@ def densify_and_prune(
     clone_mask = hot & (max_scale <= percent_dense * extent)
     split_mask = hot & (max_scale > percent_dense * extent)
     alive = opacity_act >= min_opacity
+    child_alive = alive  # children inherit the parent's opacity
+    if max_screen_size is not None:
+        big_vs = state.max_radii2d > max_screen_size
+        big_ws = max_scale > 0.1 * extent
+        alive = alive & ~big_vs & ~big_ws
+        child_big_ws = (max_scale / 1.6) > 0.1 * extent
+        child_alive = child_alive & ~child_big_ws
 
     keep_orig = active & ~split_mask & alive
     keep_clone = clone_mask & alive  # clone copies share the parent's opacity
-    keep_split = split_mask & alive
+    keep_split = split_mask & child_alive
 
     # split children: xyz = parent + R @ N(0, scale), scale /= 0.8 * 2
     R = quat_to_rotmat(p.rotation)  # (cap, 3, 3)

@@ -1,17 +1,34 @@
-"""Tile binning: (tile, gaussian) pair emission, sort, and per-tile ranges.
+"""Tile binning: depth-ordered (tile, gaussian) pair emission + packed-key sort.
 
-This reproduces the CUDA rasterizer's duplicate-keys + radix-sort stage
-(SURVEY.md §3.5, N1) in XLA primitives with static shapes:
+Reproduces the CUDA rasterizer's duplicate-keys + radix-sort stage
+(SURVEY.md §3.5, N1 — reference consumer `gaussian_renderer/__init__.py:85-93`)
+with TPU-friendly primitives and static shapes. The round-1 version used
+`jnp.searchsorted` over the pair axis (binary-search gathers: ~90 ms at 800k
+pairs on a v5e, measured) plus a segment re-alignment pass (~125 ms); this
+version is gather-free on the pair axis:
 
-  * each visible gaussian emits one pair per screen tile its radius-bbox
-    covers (CUDA getRect semantics)
-  * variable-length emission is flattened with an exclusive cumsum +
-    vectorized searchsorted — no per-gaussian loops, no dynamic shapes
-  * pairs live in a static-capacity buffer (`pair_capacity`); overflow beyond
-    capacity is dropped and reported (the host grows capacity and re-jits)
-  * one lexicographic sort by (tile_id, depth) via lax.sort with two keys
-    replaces the CUDA 64-bit-key radix sort
-  * per-tile [start, count) ranges via searchsorted over the sorted tile ids
+  * gaussians are depth-ordered once (argsort over N, not pairs); within any
+    tile, ascending gaussian *rank* == ascending depth, so depth drops out of
+    the sort key entirely (the CUDA kernel packs depth bits into its 64-bit
+    key for the same reason — order, not value)
+  * per-pair segment descriptors (rank, tile bbox, segment offset) are
+    recovered with scatter-at-segment-start + `lax.cummax` over packed int32
+    words instead of per-pair searchsorted + gathers: a gaussian's descriptor
+    is scattered once at its first pair slot and the running maximum fills
+    the rest of its segment (ranks in the high bits keep the words monotone)
+  * one single-key `lax.sort` over packed `(tile << gbits) | rank` int32
+    keys; both fields are unpacked from the sorted key by bit arithmetic —
+    nothing is carried through the sort
+  * per-tile [start, count) ranges via a small searchsorted (num_tiles
+    queries, not num_pairs)
+
+When the packed words do not fit in 31 bits (very large capacity x tile
+count), `_bin_fallback` keeps the same contract using
+searchsorted(method='sort') + a two-key sort.
+
+`pair_gauss` is in DEPTH-RANK space: callers gather per-gaussian data with
+`reordered[pair_gauss]` where `reordered = original[binning.order]`, or map
+back to caller indices via `binning.order[pair_gauss]`.
 
 Everything here is integer index computation — gradients flow through the
 *gather* of per-gaussian records by pair index (in rasterize.py), never
@@ -27,11 +44,12 @@ import jax.numpy as jnp
 
 
 class TileBinning(NamedTuple):
-    pair_gauss: jnp.ndarray  # (P,) int32 gaussian index per sorted pair
+    pair_gauss: jnp.ndarray  # (P,) int32 depth-rank of the gaussian per sorted pair
     pair_tile: jnp.ndarray  # (P,) int32 tile id per sorted pair (num_tiles = invalid)
     tile_start: jnp.ndarray  # (T,) int32 first pair index of each tile
     tile_count: jnp.ndarray  # (T,) int32 number of pairs of each tile
-    num_pairs: jnp.ndarray  # () int32 total valid pairs (pre-truncation)
+    num_pairs: jnp.ndarray  # () int32 total wanted pairs (pre-truncation)
+    order: jnp.ndarray  # (N,) int32 depth order: original index of rank i
 
 
 def tile_grid(width: int, height: int, tile_size: int) -> tuple[int, int]:
@@ -56,6 +74,21 @@ def tile_rect(mean2d, radius, tile_size: int, TW: int, TH: int):
     return tmin_x, tmin_y, tmax_x, tmax_y
 
 
+def _bits(n: int) -> int:
+    """Static bit width needed for values in [0, n]."""
+    return max(int(n).bit_length(), 1)
+
+
+def _segment_fill(values: jnp.ndarray, offsets: jnp.ndarray, pair_capacity: int):
+    """Scatter `values[g]` at pair slot `offsets[g]`, then forward-fill each
+    segment with a cumulative max. Correct as long as values are monotone
+    non-decreasing in g (rank bits live in the high bits to guarantee it);
+    zero-length segments collide at the next segment's offset and lose the
+    max (their rank is smaller), which is exactly the right winner."""
+    a = jnp.zeros(pair_capacity, jnp.int32).at[offsets].max(values, mode="drop")
+    return jax.lax.cummax(a, axis=0)
+
+
 def bin_gaussians(
     mean2d: jnp.ndarray,  # (N, 2) pixel coords
     radius: jnp.ndarray,  # (N,) float; 0 => culled
@@ -64,54 +97,65 @@ def bin_gaussians(
     height: int,
     tile_size: int,
     pair_capacity: int,
-    tile_row_start: int = 0,
-    tile_rows: int | None = None,
+    force_fallback: bool = False,
 ) -> TileBinning:
-    """`tile_row_start`/`tile_rows` restrict binning to a horizontal band of
-    tile rows (tile ids are local to the band) — the unit of pixel-parallel
-    sharding across devices."""
     mean2d = jax.lax.stop_gradient(mean2d)
     radius = jax.lax.stop_gradient(radius)
     depth = jax.lax.stop_gradient(depth)
 
     TW, TH = tile_grid(width, height, tile_size)
-    if tile_rows is None:
-        tile_rows = TH
-    num_tiles = TW * tile_rows
+    num_tiles = TW * TH
     n = mean2d.shape[0]
 
+    # depth-rank ordering: one N-sized argsort replaces per-pair depth keys
+    order = jnp.argsort(jnp.where(radius > 0, depth, jnp.inf)).astype(jnp.int32)
+    mean2d = mean2d[order]
+    radius = radius[order]
+
     tmin_x, tmin_y, tmax_x, tmax_y = tile_rect(mean2d, radius, tile_size, TW, TH)
-    # band restriction (no-op for the defaults); tile_row_start may be traced
-    # (per-device axis index under shard_map), tile_rows must be static
-    tmin_y = jnp.clip(tmin_y - tile_row_start, 0, tile_rows)
-    tmax_y = jnp.clip(tmax_y - tile_row_start, 0, tile_rows)
     span_x = jnp.maximum(tmax_x - tmin_x, 0)
     span_y = jnp.maximum(tmax_y - tmin_y, 0)
-    count = jnp.where(radius > 0, span_x * span_y, 0)
+    count = jnp.where(radius > 0, span_x * span_y, 0).astype(jnp.int32)
 
-    cum_end = jnp.cumsum(count)  # inclusive
+    cum_end = jnp.cumsum(count)
     num_pairs = cum_end[-1]
-    offsets = cum_end - count  # exclusive
+    offsets = (cum_end - count).astype(jnp.int32)
 
-    # pair p belongs to gaussian g(p): first g with cum_end[g] > p
-    p_idx = jnp.arange(pair_capacity, dtype=count.dtype)
-    g = jnp.searchsorted(cum_end, p_idx, side="right").astype(jnp.int32)
-    g_safe = jnp.minimum(g, n - 1)
+    bg = _bits(n - 1)
+    bx = _bits(TW)
+    by = _bits(TH)
+    bt = _bits(num_tiles)
+    packed_ok = (
+        (bg + bx + by <= 31) and (bg + bx <= 31) and (bg + bt <= 31)
+        and not force_fallback
+    )
+
+    p_idx = jnp.arange(pair_capacity, dtype=jnp.int32)
     valid = p_idx < jnp.minimum(num_pairs, pair_capacity)
 
-    j = (p_idx - offsets[g_safe]).astype(jnp.int32)
-    bw = jnp.maximum(span_x[g_safe], 1)
-    ty = tmin_y[g_safe] + j // bw
-    tx = tmin_x[g_safe] + j % bw
-    tile = ty * TW + tx
-    tile = jnp.where(valid, tile, num_tiles).astype(jnp.int32)
-    pair_depth = jnp.where(valid, depth[g_safe], jnp.inf).astype(jnp.float32)
-    pair_gauss = jnp.where(valid, g_safe, 0).astype(jnp.int32)
+    if packed_ok:
+        g_ids = jnp.arange(n, dtype=jnp.int32)
+        w1 = (g_ids << (bx + by)) | (tmin_x << by) | tmin_y
+        w2 = (g_ids << bx) | span_x
+        a1 = _segment_fill(w1, offsets, pair_capacity)
+        a2 = _segment_fill(w2, offsets, pair_capacity)
+        seg_off = _segment_fill(offsets, offsets, pair_capacity)
 
-    # lexicographic (tile, depth) sort — two sort keys, values carried along
-    tile_s, _, gauss_s = jax.lax.sort(
-        (tile, pair_depth, pair_gauss), num_keys=2, is_stable=False
-    )
+        g = a1 >> (bx + by)
+        tx0 = (a1 >> by) & ((1 << bx) - 1)
+        ty0 = a1 & ((1 << by) - 1)
+        sx = jnp.maximum(a2 & ((1 << bx) - 1), 1)
+        j = p_idx - seg_off
+        tile = (ty0 + j // sx) * TW + tx0 + j % sx
+
+        key = jnp.where(valid, (tile << bg) | g, num_tiles << bg)
+        (key_s,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
+        tile_s = key_s >> bg
+        gauss_s = jnp.where(tile_s < num_tiles, key_s & ((1 << bg) - 1), 0)
+    else:
+        tile_s, gauss_s = _bin_fallback(
+            tmin_x, tmin_y, span_x, offsets, cum_end, valid, p_idx, n, TW, num_tiles
+        )
 
     tile_ids = jnp.arange(num_tiles + 1, dtype=jnp.int32)
     starts = jnp.searchsorted(tile_s, tile_ids, side="left").astype(jnp.int32)
@@ -119,37 +163,28 @@ def bin_gaussians(
     tile_count = starts[1:] - starts[:-1]
 
     return TileBinning(
-        pair_gauss=gauss_s,
-        pair_tile=tile_s,
+        pair_gauss=gauss_s.astype(jnp.int32),
+        pair_tile=tile_s.astype(jnp.int32),
         tile_start=tile_start,
         tile_count=tile_count,
         num_pairs=num_pairs,
+        order=order,
     )
 
 
-def align_pairs(binning: TileBinning, chunk: int, num_tiles: int) -> TileBinning:
-    """Re-layout sorted pairs so every tile's segment starts at a multiple of
-    `chunk` (the Pallas DMA lane alignment). Capacity grows by at most
-    num_tiles * chunk; slack slots point at gaussian 0 but are masked by
-    tile_count in the kernels."""
-    P = binning.pair_gauss.shape[0]
-    count = binning.tile_count
-    padded = ((count + chunk - 1) // chunk) * chunk
-    aligned_start = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)]
-    )
-    cap = P + num_tiles * chunk
-    p = jnp.arange(cap, dtype=jnp.int32)
-    t = jnp.searchsorted(aligned_start + padded, p, side="right").astype(jnp.int32)
-    t_safe = jnp.minimum(t, num_tiles - 1)
-    k = p - aligned_start[t_safe]
-    src = binning.tile_start[t_safe] + k
-    valid = (t < num_tiles) & (k < count[t_safe])
-    gauss = jnp.where(valid, binning.pair_gauss[jnp.clip(src, 0, P - 1)], 0)
-    return TileBinning(
-        pair_gauss=gauss,
-        pair_tile=jnp.where(valid, t_safe, num_tiles),
-        tile_start=aligned_start,
-        tile_count=count,
-        num_pairs=binning.num_pairs,
-    )
+def _bin_fallback(tmin_x, tmin_y, span_x, offsets, cum_end, valid, p_idx, n, TW, num_tiles):
+    """searchsorted(method='sort') + stacked gather + two-key sort; same
+    contract as the packed path for sizes whose words overflow int32."""
+    g = jnp.searchsorted(cum_end, p_idx, side="right", method="sort").astype(jnp.int32)
+    g_safe = jnp.minimum(g, n - 1)
+    tab = jnp.stack([tmin_x, tmin_y, span_x, offsets], axis=0)  # one batched gather
+    vals = tab[:, g_safe]
+    tx0, ty0, sx_raw, seg_off = vals[0], vals[1], vals[2], vals[3]
+    sx = jnp.maximum(sx_raw, 1)
+    j = p_idx - seg_off
+    tile = (ty0 + j // sx) * TW + tx0 + j % sx
+    tile = jnp.where(valid, tile, num_tiles).astype(jnp.int32)
+    gauss = jnp.where(valid, g_safe, 0).astype(jnp.int32)
+    tile_s, gauss_s = jax.lax.sort((tile, gauss), num_keys=2, is_stable=False)
+    gauss_s = jnp.where(tile_s < num_tiles, gauss_s, 0)
+    return tile_s, gauss_s

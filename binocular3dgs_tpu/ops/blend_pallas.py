@@ -3,9 +3,11 @@
 Same math and termination semantics as ops/blend.py (the XLA scan version),
 but executed as one kernel program per 16x16 tile with:
 
-  * scalar-prefetched per-tile [start, count) pair ranges (SMEM); segments
-    are pre-aligned to the chunk size (ops/binning.align_pairs) so the DMA
-    lane offsets are provably 128-divisible (pl.multiple_of)
+  * scalar-prefetched per-tile [start, count) pair ranges (SMEM); segment
+    starts are arbitrary — each DMA reads from the chunk-aligned address at
+    or below the segment start and the leading out-of-segment lanes are
+    masked off (k < 0), so no re-alignment pass over the pair buffer is
+    needed (the round-1 align_pairs stage cost ~125 ms/render on a v5e)
   * per-chunk async DMA of sorted pair records from HBM; records are
     field-major (16, P) so a chunk lands as (16, C) whose field rows (1, C)
     broadcast directly against per-pixel columns (S, 1) — no transposes
@@ -22,8 +24,10 @@ but executed as one kernel program per 16x16 tile with:
     a one-hot MXU contraction to stay in the (S, 1) orientation
   * the backward walks chunks in reverse from the per-tile max contributor,
     reconstructing transmittance by division from T_final exactly like the
-    CUDA backward; per-pair cotangents are DMA'd into an aliased pre-zeroed
-    (16, P) buffer and segment-summed per gaussian by the caller
+    CUDA backward; per-pair cotangents are accumulated (read-add-write DMA,
+    safe because the TPU grid runs sequentially) into an aliased pre-zeroed
+    (16, P) buffer — boundary chunks shared by two adjacent tiles compose
+    correctly — and segment-summed per gaussian by the caller
 
 Record rows: 0:mx 1:my 2:conic_a 3:conic_b 4:conic_c 5:opacity
 6:r 7:g 8:b 9:depth 10-15:padding. The custom VJP lives in
@@ -144,11 +148,13 @@ def _forward_kernel(
 ):
     S = ts * ts
     t = pl.program_id(0)
-    start = pl.multiple_of(tile_start_ref[t], C)  # segments are chunk-aligned
+    seg_start = tile_start_ref[t]
     count = tile_count_ref[t]
+    base = pl.multiple_of((seg_start // C) * C, C)  # chunk-aligned DMA base
+    off = seg_start - base  # leading lanes of chunk 0 belong to the prior tile
     px, py = _pixel_coords(t, TW, ts, S)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
-    n_chunks = pl.cdiv(count, C)
+    n_chunks = pl.cdiv(off + count, C)
 
     T_run_ref[:, :] = jnp.ones((S, 1), jnp.float32)
     done_ref[:, :] = jnp.zeros((S, 1), jnp.float32)
@@ -162,7 +168,7 @@ def _forward_kernel(
     def body(carry):
         c, _ = carry
         copy = pltpu.make_async_copy(
-            records_ref.at[:, pl.ds(pl.multiple_of(start + c * C, C), C)], rec_buf, dma_sem
+            records_ref.at[:, pl.ds(pl.multiple_of(base + c * C, C), C)], rec_buf, dma_sem
         )
         copy.start()
         copy.wait()
@@ -170,8 +176,8 @@ def _forward_kernel(
         T_run = T_run_ref[:, :]  # (S, 1)
         done = done_ref[:, :]
 
-        k = c * C + lane1  # (1, C)
-        valid = k < count
+        k = c * C + lane1 - off  # (1, C) position within the tile's segment
+        valid = (k >= 0) & (k < count)
         alpha, _ = _chunk_alpha(rec, px, py, valid)
         alpha = jnp.where(done > 0.5, 0.0, alpha)  # (S, 1) mask broadcast
 
@@ -278,13 +284,15 @@ def _backward_kernel(
     dr_ref, dg_ref, db_ref, ddep_ref, dtfin_ref,  # (1, 1, S)
     zeros_ref,  # (16, P) HBM — aliased to the output (pre-zeroed)
     d_records_ref,  # (16, P) HBM (aliased)
-    rec_buf, drec_buf, dma_sem, dma_sem_out, T_run_ref, suf_ref,
+    rec_buf, drec_buf, acc_buf, dma_sem, dma_sem_acc, dma_sem_out, T_run_ref, suf_ref,
     *, TW: int, ts: int, C: int,
 ):
     S = ts * ts
     t = pl.program_id(0)
-    start = pl.multiple_of(tile_start_ref[t], C)
+    seg_start = tile_start_ref[t]
     count = tile_count_ref[t]
+    base = pl.multiple_of((seg_start // C) * C, C)
+    off = seg_start - base
     px, py = _pixel_coords(t, TW, ts, S)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
 
@@ -298,7 +306,7 @@ def _backward_kernel(
     d_tf = jnp.transpose(dtfin_ref[0, :, :], (1, 0))
 
     nc_max = jnp.max(n_contrib)
-    n_chunks = pl.cdiv(jnp.minimum(nc_max, count), C)
+    n_chunks = pl.cdiv(off + jnp.minimum(nc_max, count), C)
 
     T_run_ref[:, :] = T_final
     suf_ref[:, :] = jnp.zeros((S, 4), jnp.float32)
@@ -309,16 +317,24 @@ def _backward_kernel(
     def body(c_rev):
         c = n_chunks - 1 - c_rev
         copy = pltpu.make_async_copy(
-            records_ref.at[:, pl.ds(pl.multiple_of(start + c * C, C), C)], rec_buf, dma_sem
+            records_ref.at[:, pl.ds(pl.multiple_of(base + c * C, C), C)], rec_buf, dma_sem
         )
         copy.start()
+        # prefetch the existing d_records chunk for the accumulate-write:
+        # boundary chunks are shared with the adjacent tile's cotangents
+        acc_copy = pltpu.make_async_copy(
+            d_records_ref.at[:, pl.ds(pl.multiple_of(base + c * C, C), C)],
+            acc_buf,
+            dma_sem_acc,
+        )
+        acc_copy.start()
         copy.wait()
         rec = rec_buf[:, :]
         T_run = T_run_ref[:, :]
         suf = suf_ref[:, :]
 
-        k = c * C + lane1
-        in_count = k < count
+        k = c * C + lane1 - off
+        in_count = (k >= 0) & (k < count)
         keep = in_count & (k < n_contrib)  # (S, C)
         alpha_raw, power = _chunk_alpha(rec, px, py, in_count)
         a = jnp.where(keep, alpha_raw, 0.0)
@@ -379,10 +395,13 @@ def _backward_kernel(
             + [zero_row] * (REC_ROWS - 10),
             axis=0,
         )
-        drec_buf[:, :] = drec
+        # out-of-segment lanes contribute exactly 0 (a = 0 there), so adding
+        # onto the neighbor tile's values is a no-op for its lanes
+        acc_copy.wait()
+        drec_buf[:, :] = drec + acc_buf[:, :]
         out_copy = pltpu.make_async_copy(
             drec_buf,
-            d_records_ref.at[:, pl.ds(pl.multiple_of(start + c * C, C), C)],
+            d_records_ref.at[:, pl.ds(pl.multiple_of(base + c * C, C), C)],
             dma_sem_out,
         )
         out_copy.start()
@@ -449,8 +468,10 @@ def blend_backward_pallas(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((REC_ROWS, chunk), jnp.float32),
-            pltpu.VMEM((REC_ROWS, chunk), jnp.float32),
+            pltpu.VMEM((REC_ROWS, chunk), jnp.float32),  # rec_buf
+            pltpu.VMEM((REC_ROWS, chunk), jnp.float32),  # drec_buf
+            pltpu.VMEM((REC_ROWS, chunk), jnp.float32),  # acc_buf
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.VMEM((S, 1), jnp.float32),  # T_run

@@ -41,25 +41,32 @@ def _gaussian_window(size: int, sigma: float) -> jnp.ndarray:
     return g / jnp.sum(g)
 
 
+def _band_matrix(n: int, window: jnp.ndarray) -> jnp.ndarray:
+    """(n, n) matrix B with B[i, j] = window[j - i + pad] for |j - i| <= pad,
+    i.e. x @ B == 'SAME'-zero-padded 1D convolution of the rows of x."""
+    size = window.shape[0]
+    pad = size // 2
+    i = jnp.arange(n)[:, None]
+    j = jnp.arange(n)[None, :]
+    d = j - i + pad
+    in_band = (d >= 0) & (d < size)
+    return jnp.where(in_band, window[jnp.clip(d, 0, size - 1)], 0.0)
+
+
 def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     """Separable 2D gaussian filter with zero ('SAME') padding, per channel.
 
-    img: (B, H, W, C). The 2D window is the outer product of the 1D window,
-    so two 1D convolutions reproduce the reference's grouped conv2d exactly.
-    """
-    C = img.shape[-1]
-    size = window.shape[0]
-    pad = size // 2
-    k_h = jnp.tile(window.reshape(size, 1, 1, 1), (1, 1, 1, C))  # HWIO, grouped
-    x = jax.lax.conv_general_dilated(
-        img, k_h, (1, 1), ((pad, pad), (0, 0)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
-    )
-    k_w = jnp.tile(window.reshape(1, size, 1, 1), (1, 1, 1, C))
-    return jax.lax.conv_general_dilated(
-        x, k_w, (1, 1), ((0, 0), (pad, pad)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
-    )
+    img: (B, H, W, C). Implemented as two banded matmuls (rows/columns
+    contracted against constant (W, W)/(H, H) band matrices) rather than
+    grouped convolutions: TPU convs with C=3 feature groups run far off the
+    MXU's preferred layout (~8 ms for the 5 SSIM blurs at 1008x756 on a
+    v5e), while the matmuls keep the MXU fully fed. Matches the reference's
+    conv2d(groups=C) + outer-product window exactly."""
+    H, W = img.shape[1], img.shape[2]
+    bw = _band_matrix(W, window)
+    bh = _band_matrix(H, window)
+    x = jnp.einsum("bhwc,wv->bhvc", img, bw)
+    return jnp.einsum("bhwc,hu->buwc", x, bh)
 
 
 def ssim(img1, img2, window_size: int = SSIM_WINDOW, size_average: bool = True):
@@ -68,12 +75,16 @@ def ssim(img1, img2, window_size: int = SSIM_WINDOW, size_average: bool = True):
     if squeeze:
         img1, img2 = img1[None], img2[None]
     window = _gaussian_window(window_size, SSIM_SIGMA)
-    mu1 = _blur(img1, window)
-    mu2 = _blur(img2, window)
+    B = img1.shape[0]
+    stacked = jnp.concatenate(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=0
+    )
+    blurred = _blur(stacked, window)  # one batched pair of banded matmuls
+    mu1, mu2, s11, s22, s12 = (blurred[i * B : (i + 1) * B] for i in range(5))
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _blur(img1 * img1, window) - mu1_sq
-    sigma2_sq = _blur(img2 * img2, window) - mu2_sq
-    sigma12 = _blur(img1 * img2, window) - mu1_mu2
+    sigma1_sq = s11 - mu1_sq
+    sigma2_sq = s22 - mu2_sq
+    sigma12 = s12 - mu1_mu2
     ssim_map = ((2 * mu1_mu2 + SSIM_C1) * (2 * sigma12 + SSIM_C2)) / (
         (mu1_sq + mu2_sq + SSIM_C1) * (sigma1_sq + sigma2_sq + SSIM_C2)
     )

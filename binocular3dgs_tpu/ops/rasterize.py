@@ -4,15 +4,19 @@ Drop-in replacement for ops/rasterize_reference.render_dense with the same
 outputs (RenderOutput) and gradients, but O(pairs) instead of O(P * pixels):
 
   1. vertex stage (ops/project.py) — differentiable XLA
-  2. tile binning + (tile, depth) sort (ops/binning.py) — integer XLA,
-     wrapped in stop_gradient
-  3. blend (ops/blend.py) — custom VJP; forward walks per-tile pair lists
-     front-to-back, backward reconstructs transmittance by division from
-     T_final, exactly like the CUDA kernels
+  2. field-major record table (16, N) built from the vertex outputs, then
+     depth-reordered once (ops/binning.py orders gaussians by view depth so
+     pair sort keys need no depth component)
+  3. tile binning + packed-key sort (ops/binning.py) — integer XLA, wrapped
+     in stop_gradient
+  4. blend (ops/blend.py XLA scan or ops/blend_pallas.py TPU kernels) —
+     custom VJP; forward walks per-tile pair lists front-to-back, backward
+     reconstructs transmittance by division from T_final, exactly like the
+     CUDA kernels (reference consumer contract: SURVEY.md §3.5)
 
-Static capacities (jit-able): `pair_capacity = pairs_per_gaussian * N` and
-`max_pairs_per_tile`; overflow is dropped (deepest pairs last) — callers can
-inspect `RenderOutput.num_pairs` against capacity and re-jit larger.
+Static capacity (jit-able): `pair_capacity = pairs_per_gaussian * N`;
+overflow is dropped (deepest pairs last) — callers can inspect
+`RenderOutput.num_pairs` against capacity and re-jit larger.
 """
 
 from __future__ import annotations
@@ -70,7 +74,8 @@ _blend.defvjp(_blend_fwd, _blend_bwd)
 
 # ---------------------------------------------------------------------------
 # pallas backend: custom VJP at the (16, P) record level — gradients flow to
-# per-gaussian arrays through the XLA-side gather that builds the records
+# per-gaussian arrays through the XLA-side gathers that build the records
+# (depth reorder, then pair gather)
 # ---------------------------------------------------------------------------
 
 
@@ -113,35 +118,31 @@ def _blend_records_pallas_bwd(TW, TH, ts, chunk, interpret, res, cots):
 _blend_records_pallas.defvjp(_blend_records_pallas_fwd, _blend_records_pallas_bwd)
 
 
-def _blend_via_pallas(inputs: BlendInputs, binning, TW, TH, ts, chunk, interpret):
-    from .binning import align_pairs
+def _build_fields(proj, mean2d):
+    """Field-major (REC_ROWS, N) record table. Rows 0-9 are the blend record
+    layout (blend_pallas.py docstring); row 10 carries the (non-diff) screen
+    radius for binning."""
     from .blend_pallas import REC_ROWS
 
-    binning = align_pairs(binning, chunk, TW * TH)
     fields = jnp.stack(
         [
-            inputs.mean2d[:, 0],
-            inputs.mean2d[:, 1],
-            inputs.conic[:, 0],
-            inputs.conic[:, 1],
-            inputs.conic[:, 2],
-            inputs.opacity,
-            inputs.color[:, 0],
-            inputs.color[:, 1],
-            inputs.color[:, 2],
-            inputs.depth,
+            mean2d[:, 0],
+            mean2d[:, 1],
+            proj.conic[:, 0],
+            proj.conic[:, 1],
+            proj.conic[:, 2],
+            proj.opacity,
+            proj.color[:, 0],
+            proj.color[:, 1],
+            proj.color[:, 2],
+            proj.depth,
+            jax.lax.stop_gradient(proj.radius),
         ],
         axis=0,
-    )  # (10, N)
-    fields = jnp.concatenate(
+    )
+    return jnp.concatenate(
         [fields, jnp.zeros((REC_ROWS - fields.shape[0], fields.shape[1]), fields.dtype)],
         axis=0,
-    )
-    records = fields[:, binning.pair_gauss]  # (16, P) — differentiable gather
-    # pad the pair axis so a partial final DMA chunk never reads out of bounds
-    records = jnp.pad(records, ((0, 0), (0, chunk)))
-    return _blend_records_pallas(
-        records, binning.tile_start, binning.tile_count, TW, TH, ts, chunk, interpret
     )
 
 
@@ -191,37 +192,45 @@ def render_tiled(
     N = proj.mean2d.shape[0]
     pair_capacity = raster.pairs_per_gaussian * N
 
+    # shift splat centers into band-local pixel space up front (constant
+    # shift: carrier gradients are unaffected); binning and blend then both
+    # work in band-local coordinates
+    if band:
+        row_off_px = jnp.asarray(tile_row_start, jnp.float32) * ts
+        mean2d = proj.mean2d - jnp.stack([jnp.zeros((), jnp.float32), row_off_px])
+    else:
+        mean2d = proj.mean2d
+
     binning = bin_gaussians(
-        proj.mean2d, proj.radius, proj.depth, W, H, ts, pair_capacity,
-        tile_row_start=tile_row_start, tile_rows=rows,
+        mean2d, proj.radius, proj.depth, W, rows * ts, ts, pair_capacity
     )
 
-    # the blend computes pixel coords from band-local tile ids, so shift the
-    # splat centers into band-local pixel space (constant shift: carrier
-    # gradients are unaffected)
-    row_off_px = jnp.asarray(tile_row_start, jnp.float32) * ts if band else 0.0
-    mean2d_blend = proj.mean2d - jnp.stack(
-        [jnp.zeros((), jnp.float32), jnp.asarray(row_off_px, jnp.float32)]
-    )
-    inputs = BlendInputs(
-        mean2d=mean2d_blend,
-        conic=proj.conic,
-        color=proj.color,
-        opacity=proj.opacity,
-        depth=proj.depth,
-    )
     backend = raster.backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     if backend == "pallas":
         interpret = jax.default_backend() != "tpu"
-        rgb_t, dep_t, T_final_t = _blend_via_pallas(
-            inputs, binning, TW, rows, ts, raster.pallas_chunk, interpret
+        chunk = raster.pallas_chunk
+        fields = _build_fields(proj, mean2d)
+        fields_d = fields[:, binning.order]  # depth reorder — differentiable
+        records = fields_d[:, binning.pair_gauss]  # pair gather — differentiable
+        # pad the pair axis so a partial final DMA chunk never reads OOB
+        records = jnp.pad(records, ((0, 0), (0, chunk)))
+        rgb_t, dep_t, T_final_t = _blend_records_pallas(
+            records, binning.tile_start, binning.tile_count, TW, rows, ts, chunk, interpret
         )
     else:
+        pair_gauss = binning.order[binning.pair_gauss]  # back to caller index space
+        inputs = BlendInputs(
+            mean2d=mean2d,
+            conic=proj.conic,
+            color=proj.color,
+            opacity=proj.opacity,
+            depth=proj.depth,
+        )
         mpt = min(raster.max_pairs_per_tile, pair_capacity)
         rgb_t, dep_t, T_final_t = _blend(
-            inputs, binning.pair_gauss, binning.tile_start, binning.tile_count,
+            inputs, pair_gauss, binning.tile_start, binning.tile_count,
             TW, rows, ts, mpt, raster.chunk,
         )
     crop_h = rows * ts if band else H

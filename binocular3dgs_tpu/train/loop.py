@@ -187,6 +187,10 @@ class Trainer:
     def _densify(self, iteration: int):
         cfg = self.cfg
         self.key, sub = jax.random.split(self.key)
+        # reference train.py:183-186: size_threshold = 20 past the opacity
+        # reset interval, then *forced* None for the binocular protocol
+        size_threshold = 20 if iteration > cfg.opt.opacity_reset_interval else None
+        size_threshold = None
         result = densify_mod.densify_and_prune(
             self.state,
             grad_threshold=cfg.opt.densify_grad_threshold,
@@ -194,6 +198,7 @@ class Trainer:
             extent=self.scene.cameras_extent,
             percent_dense=cfg.opt.percent_dense,
             key=sub,
+            max_screen_size=size_threshold,
         )
         n_after = int(result.n_after)
         n_wanted = int(result.n_wanted)

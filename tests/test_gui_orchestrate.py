@@ -4,6 +4,7 @@ network_gui.py) and the multi-scene dispatcher (reference script/run_*.py)."""
 import json
 import socket
 import threading
+import time
 
 import numpy as np
 
@@ -49,10 +50,12 @@ def test_network_gui_round_trip():
         assert req.world_view_transform[2, 2] == -1.0
         return np.full((req.height, req.width, 3), 0.5, np.float32)
 
-    # poll until connected, then serve exactly one request
-    for _ in range(100):
+    # poll until connected, then serve exactly one request (sleep between
+    # tries: under a loaded CI box the client thread can lag the poll cap)
+    for _ in range(500):
         if gui.try_connect():
             break
+        time.sleep(0.01)
     gui.serve_step(render_fn, verify="model/path", training_done=False)
     t.join(timeout=5)
     gui.close()

@@ -184,3 +184,24 @@ class TestWarp:
         # interior: d/dd [(x1-d) I0 + (d-x0) I1] = I1 - I0
         expected = np.asarray(img[:, 1 + 2] - img[:, 1 + 1]).sum()
         np.testing.assert_allclose(g[0, 1], np.asarray(img[0, 3] - img[0, 2]).sum(), atol=1e-5)
+
+    def test_pallas_matches_xla(self):
+        """The pallas one-hot-contraction warp (interpret mode on CPU) must
+        match the XLA gather path: values + image/disparity cotangents."""
+        rng = np.random.default_rng(12)
+        img = jnp.asarray(rng.random((10, 24, 3)).astype(np.float32))
+        disp = jnp.asarray((rng.random((10, 24)).astype(np.float32) - 0.5) * 8)
+        ct = jnp.asarray(rng.random((10, 24, 3)).astype(np.float32))
+
+        def run(backend):
+            out, vjp = jax.vjp(
+                lambda i, d: inverse_warp_image(i, d, backend=backend), img, disp
+            )
+            d_img, d_disp = vjp(ct)
+            return out, d_img, d_disp
+
+        out_x, dimg_x, ddisp_x = run("xla")
+        out_p, dimg_p, ddisp_p = run("pallas")
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dimg_p), np.asarray(dimg_x), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ddisp_p), np.asarray(ddisp_x), atol=1e-5)

@@ -59,7 +59,8 @@ class TestBinning:
 
         start = np.asarray(out.tile_start)
         count = np.asarray(out.tile_count)
-        pg = np.asarray(out.pair_gauss)
+        order = np.asarray(out.order)
+        pg = order[np.asarray(out.pair_gauss)]  # depth-rank -> original index
         d = np.asarray(depth)
         for t in range(TW * TH):
             got = sorted(pg[start[t] : start[t] + count[t]].tolist())
@@ -68,6 +69,22 @@ class TestBinning:
             seq = pg[start[t] : start[t] + count[t]]
             depths = d[seq]
             assert (np.diff(depths) >= 0).all()
+
+    def test_fallback_path_matches_packed(self):
+        """The searchsorted fallback (for word sizes overflowing int32) must
+        produce the identical binning."""
+        rng = np.random.default_rng(7)
+        n, w, h, ts = 40, 96, 64, 16
+        mean2d = jnp.asarray(rng.uniform(-10, 100, (n, 2)).astype(np.float32))
+        radius = jnp.asarray(np.round(rng.uniform(0, 25, n)).astype(np.float32))
+        depth = jnp.asarray(rng.uniform(1, 10, n).astype(np.float32))
+        a = bin_gaussians(mean2d, radius, depth, w, h, ts, 1024)
+        b = bin_gaussians(mean2d, radius, depth, w, h, ts, 1024, force_fallback=True)
+        np.testing.assert_array_equal(np.asarray(a.pair_tile), np.asarray(b.pair_tile))
+        np.testing.assert_array_equal(np.asarray(a.pair_gauss), np.asarray(b.pair_gauss))
+        np.testing.assert_array_equal(np.asarray(a.tile_start), np.asarray(b.tile_start))
+        np.testing.assert_array_equal(np.asarray(a.tile_count), np.asarray(b.tile_count))
+        assert int(a.num_pairs) == int(b.num_pairs)
 
     def test_zero_radius_culled(self):
         out = bin_gaussians(

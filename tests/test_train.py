@@ -183,6 +183,49 @@ class TestDensify:
         after = np.asarray(jax.nn.sigmoid(st2.model.params.opacity))[:10]
         np.testing.assert_allclose(after, before * 0.995, rtol=1e-5)
 
+    def test_reset_opacity(self):
+        """reference scene/gaussian_model.py:210-213: opacity clamped to
+        <= 0.01 and opacity Adam moments zeroed, other groups untouched."""
+        st = self._state()
+        p = st.model.params.replace(opacity=st.model.params.opacity.at[:10, 0].set(3.0))
+        st = st.replace(
+            model=st.model.replace(params=p),
+            adam_m=jax.tree.map(lambda a: a + 2.0, st.adam_m),
+            adam_v=jax.tree.map(lambda a: a + 3.0, st.adam_v),
+        )
+        st2 = densify_mod.reset_opacity(st)
+        act = np.asarray(jax.nn.sigmoid(st2.model.params.opacity))[:10, 0]
+        np.testing.assert_allclose(act, 0.01, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(st2.adam_m.opacity), 0.0)
+        np.testing.assert_allclose(np.asarray(st2.adam_v.opacity), 0.0)
+        np.testing.assert_allclose(np.asarray(st2.adam_m.xyz), 2.0)
+        # a point already below 0.01 stays where it was (min, not set)
+        p3 = st.model.params.replace(opacity=st.model.params.opacity.at[0, 0].set(-10.0))
+        st3 = densify_mod.reset_opacity(st.replace(model=st.model.replace(params=p3)))
+        assert float(jax.nn.sigmoid(st3.model.params.opacity[0, 0])) < 0.001
+
+    def test_size_threshold_prunes_big_points(self):
+        """reference scene/gaussian_model.py:397-404: with max_screen_size set,
+        view-space-big (max_radii2d) and world-space-big (0.1*extent) points
+        are pruned; with None (the binocular protocol) they survive."""
+        st = self._state()
+        # all small, then: point 0 huge screen radius; point 1 huge world
+        # scale (> 0.1 * extent = 0.1)
+        scaling = jnp.full_like(st.model.params.scaling, -5.0)
+        p = st.model.params.replace(scaling=scaling.at[1].set(np.log(0.5)))
+        st = st.replace(
+            model=st.model.replace(params=p),
+            max_radii2d=st.max_radii2d.at[0].set(100.0),
+        )
+        res_off = densify_mod.densify_and_prune(
+            st, 2e-4, 0.005, 1.0, 0.01, jax.random.PRNGKey(0), max_screen_size=None
+        )
+        assert int(res_off.n_after) == 10
+        res_on = densify_mod.densify_and_prune(
+            st, 2e-4, 0.005, 1.0, 0.01, jax.random.PRNGKey(0), max_screen_size=20.0
+        )
+        assert int(res_on.n_after) == 8
+
 
 class TestTrainStep:
     def _setup(self, binocular=False):
