@@ -1,11 +1,19 @@
 """Benchmark: binocular 3DGS training throughput on the current backend.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 Workload: a synthetic LLFF-scale scene (100k gaussians, 1008x756 render — the
 reference's LLFF half-res protocol order of magnitude) running the FULL
 binocular train step (two renders, L1+D-SSIM+disparity losses, backward,
-Adam). Metric: train iterations/s.
+Adam). Metric: train iterations/s; extras report pixels/s/chip (the
+BASELINE.md north-star metric, counting rendered pixels = H*W*2 per
+iteration) and a useful-FLOP MFU estimate for the blend stage.
+
+Timing methodology: K steps run chained inside one jit'd lax.fori_loop and a
+scalar is fetched at the end; per-step cost is (t_K - t_1)/(K - 1). This
+measures device throughput — a naive host loop measures the dispatch path
+instead (and on the remote-TPU tunnel used for CI, `block_until_ready` does
+not reliably block at all). 3 warmup invocations cover compile + caches.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md); we normalize
 against a nominal 20 it/s for the reference CUDA pipeline on a modern GPU
@@ -87,22 +95,62 @@ def main():
         binocular=True,
         use_alpha_weight=False,
     )
-    state = init_train_state(model)
+    state0 = init_train_state(model)
     aw = jnp.zeros((height, width), jnp.float32)
-    key = jax.random.PRNGKey(0)
     bg = jnp.zeros(3)
 
-    # warmup / compile
-    state, _ = step(state, cam, gt, aw, jnp.int32(1), key, bg)
-    jax.block_until_ready(state)
+    @jax.jit
+    def run_steps(state, k):
+        def body(i, carry):
+            st, key = carry
+            key, sub = jax.random.split(key)
+            st, _ = step(st, cam, gt, aw, jnp.int32(2) + i, sub, bg)
+            return (st, key)
 
-    t0 = time.time()
-    for i in range(iters):
-        key, sub = jax.random.split(key)
-        state, metrics = step(state, cam, gt, aw, jnp.int32(2 + i), sub, bg)
-    jax.block_until_ready(state)
-    dt = (time.time() - t0) / iters
-    iters_per_s = 1.0 / dt
+        st, _ = jax.lax.fori_loop(0, k, body, (state, jax.random.PRNGKey(0)))
+        return jnp.sum(st.model.params.xyz[0])
+
+    # warmup: compile + caches (>= 3 invocations)
+    for _ in range(3):
+        float(run_steps(state0, 1))
+    t0 = time.perf_counter()
+    float(run_steps(state0, 1))
+    t_1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run_steps(state0, 1 + iters))
+    t_k = time.perf_counter() - t0
+    sec_per_iter = max((t_k - t_1) / iters, 1e-9)
+    iters_per_s = 1.0 / sec_per_iter
+
+    # forward-render-only throughput (the rasterizer alone)
+    @jax.jit
+    def run_renders(k):
+        def body(i, acc):
+            p = model.params.replace(xyz=model.params.xyz + acc * 1e-12)
+            out = render_tiled(cam, model.replace(params=p), bg, raster=cfg.raster)
+            return jnp.sum(out.image) * 1e-12
+
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    for _ in range(3):
+        float(run_renders(1))
+    t0 = time.perf_counter(); float(run_renders(1)); r_1 = time.perf_counter() - t0
+    t0 = time.perf_counter(); float(run_renders(1 + iters)); r_k = time.perf_counter() - t0
+    render_s = max((r_k - r_1) / iters, 1e-9)
+
+    pixels = width * height
+    # full train step renders 2 views/iter (forward+backward)
+    train_pixels_per_s = pixels * 2 * iters_per_s
+    render_pixels_per_s = pixels / render_s
+
+    # MFU estimate: useful blend FLOPs only (the algorithmic core) — pairs *
+    # pixels-per-tile * ~60 flops * 2 renders * 3x for fwd+bwd, over a
+    # nominal 197 TFLOP/s f32-on-MXU+VPU v5e ceiling. Deliberately
+    # conservative: excludes projection/sort/losses.
+    avg_pairs = 431_000 if on_tpu else 2_000  # measured workload pair count
+    ts = cfg.raster.tile_size
+    useful_flops = avg_pairs * ts * ts * 60 * 2 * 3
+    mfu = useful_flops * iters_per_s / 197e12 if on_tpu else 0.0
 
     print(
         json.dumps(
@@ -111,6 +159,11 @@ def main():
                 "value": round(iters_per_s, 3),
                 "unit": f"it/s ({n} gaussians, {width}x{height}, 2 renders/it, {jax.default_backend()})",
                 "vs_baseline": round(iters_per_s / NOMINAL_REFERENCE_ITERS_PER_S, 3),
+                "train_pixels_per_s_per_chip": round(train_pixels_per_s),
+                "render_pixels_per_s_per_chip": round(render_pixels_per_s),
+                "render_fwd_ms": round(render_s * 1000, 2),
+                "step_ms": round(sec_per_iter * 1000, 2),
+                "blend_mfu_estimate": round(mfu, 5),
             }
         )
     )

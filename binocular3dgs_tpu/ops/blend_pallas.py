@@ -6,33 +6,46 @@ but executed as one kernel program per 16x16 tile with:
   * scalar-prefetched per-tile [start, count) pair ranges (SMEM); segment
     starts are arbitrary — each DMA reads from the chunk-aligned address at
     or below the segment start and the leading out-of-segment lanes are
-    masked off (k < 0), so no re-alignment pass over the pair buffer is
-    needed (the round-1 align_pairs stage cost ~125 ms/render on a v5e)
-  * per-chunk async DMA of sorted pair records from HBM; records are
-    field-major (16, P) so a chunk lands as (16, C) whose field rows (1, C)
-    broadcast directly against per-pixel columns (S, 1) — no transposes
+    masked off (k < 0), so no re-alignment pass over the pair buffer exists
+  * software-pipelined record DMA: the forward keeps a persistent global
+    slot counter (SMEM scratch survives across the sequential TPU grid) and
+    always has exactly one chunk DMA in flight — while computing chunk c it
+    fetches chunk c+1, and on a tile's last chunk it prefetches the NEXT
+    tile's first chunk, so the per-tile entry wait finds data already
+    resident (the unpipelined version stalled ~1-2us per chunk, ~10 ms/frame
+    at 3024 tiles on a v5e)
+  * records are field-major (16, P) so a chunk lands as (16, C) whose field
+    rows (1, C) broadcast directly against per-pixel columns (S, 1)
   * work arrays are (S=256 pixels, C=chunk pairs); all cross-chunk state
     (transmittance, accumulators, termination flags, contributor counts)
-    lives in small (S, 1) VMEM scratch refs, so the dynamic while-loop over
-    chunks carries only scalars (vector loop-carries previously spilled
-    hundreds of vregs per iteration and were ~30x slower)
+    lives in small (S, k) VMEM scratch refs, so the dynamic while-loop over
+    chunks carries only scalars
   * early exit once every pixel's transmittance chain has terminated; the
-    rare-kill corrective rescan runs under lax.cond only when some pixel
-    actually terminates in the chunk
-  * lane-axis prefix/suffix scans as log2(C) masked pltpu.roll steps
-    (cumprod/cumsum do not lower on TPU Pallas); "last column" extraction via
-    a one-hot MXU contraction to stay in the (S, 1) orientation
-  * the backward walks chunks in reverse from the per-tile max contributor,
+    termination mask is cumulative by construction (the raw transmittance
+    chain is monotone within a chunk), so no corrective rescan exists
+  * the kernels are VPU-bound, so every (S, C) elementwise chain that can be
+    a matmul is one: the EWA exponent is a 6-monomial basis contraction,
+    prefix/suffix products run as triangular matmuls in log space,
+    accumulation/moment reductions are dots, and "last column" extraction is
+    a one-hot contraction staying in the (S, 1) orientation
+  * outputs are merged into one (T, 5, S) float block (r, g, b, depth,
+    T_final) + one (T, 1, S) int block (n_contrib) per tile
+  * the backward walks chunks in reverse from the per-tile max contributor
+    (per-tile maxima are precomputed XLA-side and scalar-prefetched),
     reconstructing transmittance by division from T_final exactly like the
     CUDA backward; per-pair cotangents are accumulated (read-add-write DMA,
-    safe because the TPU grid runs sequentially) into an aliased pre-zeroed
-    (16, P) buffer — boundary chunks shared by two adjacent tiles compose
-    correctly — and segment-summed per gaussian by the caller
+    safe because the TPU grid runs sequentially and the final write is
+    drained before the grid step ends) into an aliased pre-zeroed (16, P)
+    buffer — boundary chunks shared by two adjacent tiles compose correctly
+    — and reach the per-gaussian arrays through the XLA-side gather VJP
 
 Record rows: 0:mx 1:my 2:conic_a 3:conic_b 4:conic_c 5:opacity
-6:r 7:g 8:b 9:depth 10-15:padding. The custom VJP lives in
-ops/rasterize.py; gradients flow through the XLA-side gather that builds the
-records, so the kernels only produce d_records.
+6:r 7:g 8:b 9:depth 10:radius(binning only) 11-15:padding. The custom VJP
+lives in ops/rasterize.py; gradients flow through the XLA-side gathers that
+build the records, so the kernels only produce d_records.
+
+Behavior contract: the CUDA renderCUDA forward/backward pair (SURVEY.md
+§3.5, reference consumer `gaussian_renderer/__init__.py:85-93`).
 """
 
 from __future__ import annotations
@@ -50,45 +63,27 @@ ALPHA_CLAMP = 0.99
 REC_ROWS = 16
 
 
-def _lane_iota(S, C):
-    return jax.lax.broadcasted_iota(jnp.int32, (S, C), 1)
+def _tri_strict_upper(C):
+    """(C, C) f32 with [i, j] = 1 iff i < j: `x @ tri` = exclusive prefix sum
+    along lanes as ONE MXU contraction (the log-step roll/select scan costs
+    ~21 VPU ops on the full (S, C) block; the kernels are VPU-bound)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    return (i < j).astype(jnp.float32)
 
 
-def _cumprod_lanes(x, C):
-    """Inclusive prefix product along the lane (chunk) axis (log-step)."""
-    lane = _lane_iota(x.shape[0], C)
-    sh = 1
-    while sh < C:
-        x = x * jnp.where(lane >= sh, pltpu.roll(x, sh, axis=1), 1.0)
-        sh *= 2
-    return x
+def _tri_lower_incl(C):
+    """(C, C) f32 with [i, j] = 1 iff i >= j: `x @ tri` = inclusive suffix sum."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    return (i >= j).astype(jnp.float32)
 
 
-def _rev_cumprod_lanes(x, C):
-    lane = _lane_iota(x.shape[0], C)
-    sh = 1
-    while sh < C:
-        x = x * jnp.where(lane < C - sh, pltpu.roll(x, C - sh, axis=1), 1.0)
-        sh *= 2
-    return x
-
-
-def _rev_cumsum_lanes(x, C):
-    lane = _lane_iota(x.shape[0], C)
-    sh = 1
-    while sh < C:
-        x = x + jnp.where(lane < C - sh, pltpu.roll(x, C - sh, axis=1), 0.0)
-        sh *= 2
-    return x
-
-
-def _cummax_lanes(x, C):
-    lane = _lane_iota(x.shape[0], C)
-    sh = 1
-    while sh < C:
-        x = jnp.maximum(x, jnp.where(lane >= sh, pltpu.roll(x, sh, axis=1), x))
-        sh *= 2
-    return x
+def _dot_lanes(x, tri):
+    """(S, C) @ (C, C) on the MXU."""
+    return jax.lax.dot_general(
+        x, tri, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
 
 
 def _last_col(x, C):
@@ -97,12 +92,6 @@ def _last_col(x, C):
     return jax.lax.dot_general(
         x, onehot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-
-
-def _shift_right(x, first_col, C):
-    """Exclusive shift along lanes: column i gets x[i-1], column 0 first_col."""
-    lane = _lane_iota(x.shape[0], C)
-    return jnp.where(lane >= 1, pltpu.roll(x, 1, axis=1), first_col)
 
 
 def _pixel_coords(tile_id, TW: int, ts: int, S: int):
@@ -115,20 +104,48 @@ def _pixel_coords(tile_id, TW: int, ts: int, S: int):
     return px, py
 
 
-def _chunk_alpha(rec, px, py, valid_lane):
-    """alpha (S, C) for a record chunk rec (16, C); skip masks applied.
+def _pixel_basis(px, py, S):
+    """(S, 6) quadratic monomial basis [1, x, y, x^2, xy, y^2] per pixel.
 
-    valid_lane: (1, C) pair validity; px/py: (S, 1).
+    The EWA exponent is a quadratic form in pixel coordinates, so the whole
+    (S, C) power array is ONE MXU matmul `basis @ coeffs` instead of ~10 VPU
+    ops per (pixel, pair) — the kernels are VPU-bound, so every (S, C)
+    elementwise op moved to the MXU is a direct win.
+    """
+    one = jnp.ones((S, 1), jnp.float32)
+    return jnp.concatenate([one, px, py, px * px, px * py, py * py], axis=1)
+
+
+def _power_coeffs(rec):
+    """(6, C) per-pair coefficients of the quadratic exponent.
+
+    power(x, y) = -0.5*ca*(x-mx)^2 - 0.5*cc*(y-my)^2 - cb*(x-mx)*(y-my)
+                = c0 + c1*x + c2*y + c3*x^2 + c4*xy + c5*y^2
     """
     mx = rec[0:1, :]
     my = rec[1:2, :]
     ca = rec[2:3, :]
     cb = rec[3:4, :]
     cc = rec[4:5, :]
+    c0 = -0.5 * (ca * mx * mx + cc * my * my) - cb * mx * my
+    c1 = ca * mx + cb * my
+    c2 = cc * my + cb * mx
+    c3 = -0.5 * ca
+    c4 = -cb
+    c5 = -0.5 * cc
+    return jnp.concatenate([c0, c1, c2, c3, c4, c5], axis=0)
+
+
+def _chunk_alpha_mxu(rec, basis, valid_lane):
+    """alpha (S, C) for a record chunk rec (16, C); skip masks applied.
+
+    basis: (S, 6) pixel monomials; valid_lane: (1, C) pair validity.
+    """
+    coeffs = _power_coeffs(rec)  # (6, C) — cheap (1, C) vector math
+    power = jax.lax.dot_general(
+        basis, coeffs, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (S, C) on the MXU
     op = jnp.where(valid_lane, rec[5:6, :], 0.0)
-    dx = mx - px  # (S, C)
-    dy = my - py
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     alpha = jnp.minimum(ALPHA_CLAMP, op * jnp.exp(power))
     alpha = jnp.where((power > 0.0) | (alpha < ALPHA_MIN), 0.0, alpha)
     return alpha, power
@@ -139,22 +156,30 @@ def _chunk_alpha(rec, px, py, valid_lane):
 # ---------------------------------------------------------------------------
 
 
-def _forward_kernel(
-    tile_start_ref, tile_count_ref,
-    records_ref,  # (16, P) HBM
-    r_ref, g_ref, b_ref, dep_ref, tfin_ref, ncontrib_ref,  # (1, 1, S)
-    rec_buf, dma_sem, T_run_ref, done_ref, acc_ref, nc_ref,
+def _forward_tile(
+    t, base_next, tile_start_ref, tile_count_ref, records_ref,
+    rec_buf, dma_sem, q_ref, T_run_ref, done_ref, acc_ref, nc_ref,
     *, TW: int, ts: int, C: int,
 ):
+    """Blend one tile's pair segment; assumes a DMA for this tile's chunk 0
+    is already in flight (slot q % 2) and leaves one for `base_next`."""
     S = ts * ts
-    t = pl.program_id(0)
     seg_start = tile_start_ref[t]
     count = tile_count_ref[t]
     base = pl.multiple_of((seg_start // C) * C, C)  # chunk-aligned DMA base
     off = seg_start - base  # leading lanes of chunk 0 belong to the prior tile
     px, py = _pixel_coords(t, TW, ts, S)
+    basis = _pixel_basis(px, py, S)  # (S, 6), hoisted out of the chunk loop
+    tri_x = _tri_strict_upper(C)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
     n_chunks = pl.cdiv(off + count, C)
+
+    def dma(addr, slot):
+        return pltpu.make_async_copy(
+            records_ref.at[:, pl.ds(pl.multiple_of(addr, C), C)],
+            rec_buf.at[slot],
+            dma_sem.at[slot],
+        )
 
     T_run_ref[:, :] = jnp.ones((S, 1), jnp.float32)
     done_ref[:, :] = jnp.zeros((S, 1), jnp.float32)
@@ -167,109 +192,182 @@ def _forward_kernel(
 
     def body(carry):
         c, _ = carry
-        copy = pltpu.make_async_copy(
-            records_ref.at[:, pl.ds(pl.multiple_of(base + c * C, C), C)], rec_buf, dma_sem
-        )
-        copy.start()
-        copy.wait()
-        rec = rec_buf[:, :]
+        q = q_ref[0]
+        slot = jax.lax.rem(q, 2)
+        dma(base + c * C, slot).wait()  # chunk c (issued one iteration ago)
+        # keep exactly one DMA in flight: next local chunk, or the next
+        # tile's first chunk when this is the last one
+        next_addr = jnp.where(c + 1 < n_chunks, base + (c + 1) * C, base_next)
+        dma(next_addr, 1 - slot).start()
+        q_ref[0] = q + 1
+
+        rec = rec_buf[slot]
         T_run = T_run_ref[:, :]  # (S, 1)
         done = done_ref[:, :]
 
         k = c * C + lane1 - off  # (1, C) position within the tile's segment
         valid = (k >= 0) & (k < count)
-        alpha, _ = _chunk_alpha(rec, px, py, valid)
+        alpha, _ = _chunk_alpha_mxu(rec, basis, valid)
         alpha = jnp.where(done > 0.5, 0.0, alpha)  # (S, 1) mask broadcast
 
+        # prefix transmittance via ONE MXU contraction in log space:
+        # cumprod(1-a) = exp(cumsum(log1p(-a))). T_after is monotone
+        # non-increasing along the chunk (factors in (0, 1]), so the CUDA
+        # termination test `T * (1-a) < T_MIN => stop before blending` yields
+        # a mask that is already cumulative — no corrective scan is needed
         one_minus = 1.0 - alpha
-        cp_raw = _cumprod_lanes(one_minus, C)
-        T_before_raw = T_run * _shift_right(cp_raw, 1.0, C)
-        kill = T_before_raw * one_minus < T_MIN
-        any_kill = jnp.max(kill.astype(jnp.float32)) > 0.0
-
-        def with_kill(_):
-            killed = _cummax_lanes(kill.astype(jnp.float32), C)
-            a_eff = jnp.where(killed > 0.0, 0.0, alpha)
-            cp = _cumprod_lanes(1.0 - a_eff, C)
-            T_before = T_run * _shift_right(cp, 1.0, C)
-            done_new = jnp.maximum(done, _last_col(killed, C))
-            return a_eff, T_before, cp, done_new
-
-        def no_kill(_):
-            return alpha, T_before_raw, cp_raw, done
-
-        a_eff, T_before, cp, done_new = jax.lax.cond(any_kill, with_kill, no_kill, None)
+        cp_excl = jnp.exp(_dot_lanes(jnp.log1p(-alpha), tri_x))  # prod_{j<i}
+        cp_raw = cp_excl * one_minus  # inclusive
+        T_after = T_run * cp_raw
+        kill = T_after < T_MIN  # (S, C), monotone per row
+        a_eff = jnp.where(kill, 0.0, alpha)
+        T_before = T_run * cp_excl
         w = a_eff * T_before  # (S, C)
 
-        acc = acc_ref[:, :]
-        acc_ref[:, :] = acc + jnp.concatenate(
-            [
-                jnp.sum(w * rec[6:7, :], axis=1, keepdims=True),
-                jnp.sum(w * rec[7:8, :], axis=1, keepdims=True),
-                jnp.sum(w * rec[8:9, :], axis=1, keepdims=True),
-                jnp.sum(w * rec[9:10, :], axis=1, keepdims=True),
-            ],
-            axis=1,
+        # acc += w @ [r g b z]^T — one MXU contraction instead of 4 masked
+        # lane reductions
+        acc_ref[:, :] = acc_ref[:, :] + jax.lax.dot_general(
+            w, rec[6:10, :], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         nc_ref[:, :] = jnp.maximum(
             nc_ref[:, :], jnp.max(jnp.where(a_eff > 0.0, k + 1, 0), axis=1, keepdims=True)
         )
-        T_run_ref[:, :] = T_run * _last_col(cp, C)
+        # final T of the chunk = cp at the last unkilled lane (cp_raw is
+        # non-increasing, so a masked lane-min finds it); all-killed rows
+        # keep T_run via the min-with-1
+        cp_done = jnp.min(jnp.where(kill, 2.0, cp_raw), axis=1, keepdims=True)
+        T_run_ref[:, :] = T_run * jnp.minimum(cp_done, 1.0)
+        # kill is monotone, so "any kill" == "last lane killed" == row done
+        done_new = jnp.maximum(done, _last_col(kill.astype(jnp.float32), C))
         done_ref[:, :] = done_new
         return (c + 1, jnp.min(done_new))
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(0.0)))
-    acc = acc_ref[:, :]
-    r_ref[0, 0, :] = acc[:, 0]
-    g_ref[0, 0, :] = acc[:, 1]
-    b_ref[0, 0, :] = acc[:, 2]
-    dep_ref[0, 0, :] = acc[:, 3]
-    tfin_ref[0, 0, :] = T_run_ref[:, 0]
-    ncontrib_ref[0, 0, :] = nc_ref[:, 0]
+    final_c, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(0.0)))
+
+    # pipeline invariant fixup: if the loop exited early (termination) or
+    # never ran (empty tile), the in-flight DMA is not `base_next` — drain it
+    # and issue the right one
+    @pl.when((final_c < n_chunks) | (n_chunks == 0))
+    def _():
+        q = q_ref[0]
+        slot = jax.lax.rem(q, 2)
+        dma(base, slot).wait()  # address irrelevant: waits the slot semaphore
+        dma(base_next, 1 - slot).start()
+        q_ref[0] = q + 1
 
 
-@functools.partial(jax.jit, static_argnames=("TW", "TH", "ts", "chunk", "interpret"))
+def _forward_kernel(
+    tile_start_ref, tile_count_ref,
+    records_ref,  # (16, P) HBM
+    out_ref,  # (G, 5, S): r g b depth T_final per grouped tile
+    ncontrib_ref,  # (G, 1, S) int32
+    rec_buf,  # (2, 16, C) ping-pong
+    dma_sem,  # DMA sems (2,)
+    q_ref,  # SMEM (1,): global DMA slot counter (persists across grid steps)
+    T_run_ref, done_ref, acc_ref, nc_ref,
+    *, TW: int, ts: int, C: int, T: int, G: int,
+):
+    """Processes G consecutive tiles per grid step — the per-step grid
+    machinery (output block DMA, prologue/epilogue) measured ~2.6 us/tile at
+    G=1 on a v5e, dwarfing the ~1 us of per-tile compute."""
+    step = pl.program_id(0)
+    t0 = step * G
+
+    # warmup: the very first grid step issues tile 0's chunk-0 fetch; every
+    # later tile finds its own already in flight (issued by its predecessor)
+    @pl.when(step == 0)
+    def _():
+        q_ref[0] = 0
+        first_base = pl.multiple_of((tile_start_ref[0] // C) * C, C)
+        pltpu.make_async_copy(
+            records_ref.at[:, pl.ds(first_base, C)], rec_buf.at[0], dma_sem.at[0]
+        ).start()
+
+    for g in range(G):
+        t = t0 + g
+        nt = jnp.minimum(t + 1, T - 1)
+        base_next = pl.multiple_of((tile_start_ref[nt] // C) * C, C)
+        _forward_tile(
+            t, base_next, tile_start_ref, tile_count_ref, records_ref,
+            rec_buf, dma_sem, q_ref, T_run_ref, done_ref, acc_ref, nc_ref,
+            TW=TW, ts=ts, C=C,
+        )
+        acc = acc_ref[:, :]
+        out_ref[g, 0, :] = acc[:, 0]
+        out_ref[g, 1, :] = acc[:, 1]
+        out_ref[g, 2, :] = acc[:, 2]
+        out_ref[g, 3, :] = acc[:, 3]
+        out_ref[g, 4, :] = T_run_ref[:, 0]
+        ncontrib_ref[g, 0, :] = nc_ref[:, 0]
+
+    # last step: drain the final in-flight DMA before the kernel ends
+    @pl.when(t0 + G >= T)
+    def _():
+        q = q_ref[0]
+        pltpu.make_async_copy(
+            records_ref.at[:, pl.ds(0, C)],
+            rec_buf.at[jax.lax.rem(q, 2)],
+            dma_sem.at[jax.lax.rem(q, 2)],
+        ).wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("TW", "TH", "ts", "chunk", "interpret", "group")
+)
 def blend_forward_pallas(
-    records,  # (16, P) float32, field-major sorted pair records (chunk-aligned)
-    tile_start,  # (T,) int32, multiples of chunk
+    records,  # (16, P) float32, field-major sorted pair records (+chunk pad)
+    tile_start,  # (T,) int32 (arbitrary offsets)
     tile_count,  # (T,) int32
     TW: int,
     TH: int,
     ts: int,
     chunk: int = 128,
     interpret: bool = False,
+    group: int = 8,
 ):
     T = TW * TH
     S = ts * ts
-    kernel = functools.partial(_forward_kernel, TW=TW, ts=ts, C=chunk)
+    G = min(group, T)
+    T_pad = -(-T // G) * G
+    if T_pad != T:
+        # padding tiles are empty (count 0) and their base points at pair 0
+        tile_start = jnp.concatenate(
+            [tile_start, jnp.zeros(T_pad - T, jnp.int32)])
+        tile_count = jnp.concatenate(
+            [tile_count, jnp.zeros(T_pad - T, jnp.int32)])
+    kernel = functools.partial(_forward_kernel, TW=TW, ts=ts, C=chunk, T=T_pad, G=G)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(T,),
+        grid=(T_pad // G,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=[
-            pl.BlockSpec((1, 1, S), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM)
-            for _ in range(6)
+            pl.BlockSpec((G, 5, S), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, S), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((REC_ROWS, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, REC_ROWS, chunk), jnp.float32),  # ping-pong rec_buf
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),  # global slot counter
             pltpu.VMEM((S, 1), jnp.float32),  # T_run
             pltpu.VMEM((S, 1), jnp.float32),  # done
             pltpu.VMEM((S, 4), jnp.float32),  # rgb + depth accumulators
             pltpu.VMEM((S, 1), jnp.int32),  # n_contrib
         ],
     )
-    out_shape = [jax.ShapeDtypeStruct((T, 1, S), jnp.float32) for _ in range(5)] + [
-        jax.ShapeDtypeStruct((T, 1, S), jnp.int32)
+    out_shape = [
+        jax.ShapeDtypeStruct((T_pad, 5, S), jnp.float32),
+        jax.ShapeDtypeStruct((T_pad, 1, S), jnp.int32),
     ]
-    r, g, b, dep, tfin, nc = pl.pallas_call(
+    out5, nc = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
     )(tile_start, tile_count, records)
-    rgb = jnp.stack([r[:, 0], g[:, 0], b[:, 0]], axis=-1)
-    return rgb, dep[:, 0], tfin[:, 0], nc[:, 0]
+    out5 = out5[:T]
+    nc = nc[:T]
+    rgb = jnp.moveaxis(out5[:, 0:3, :], 1, 2)  # (T, S, 3)
+    return rgb, out5[:, 3, :], out5[:, 4, :], nc[:, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -277,158 +375,214 @@ def blend_forward_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _backward_kernel(
-    tile_start_ref, tile_count_ref,
-    records_ref,  # (16, P) HBM
-    tfin_ref, ncontrib_ref,  # (1, 1, S)
-    dr_ref, dg_ref, db_ref, ddep_ref, dtfin_ref,  # (1, 1, S)
-    zeros_ref,  # (16, P) HBM — aliased to the output (pre-zeroed)
-    d_records_ref,  # (16, P) HBM (aliased)
-    rec_buf, drec_buf, acc_buf, dma_sem, dma_sem_acc, dma_sem_out, T_run_ref, suf_ref,
+def _backward_tile(
+    t, g, tile_start_ref, tile_count_ref, nc_max_ref,
+    records_ref, g6_ref, ncontrib_ref, d_records_ref,
+    rec_buf, acc_buf, drec_buf,
+    rec_sem, acc_sem, out_sem,
+    T_run_ref, suf_ref,
     *, TW: int, ts: int, C: int,
 ):
     S = ts * ts
-    t = pl.program_id(0)
     seg_start = tile_start_ref[t]
     count = tile_count_ref[t]
     base = pl.multiple_of((seg_start // C) * C, C)
     off = seg_start - base
     px, py = _pixel_coords(t, TW, ts, S)
+    basis = _pixel_basis(px, py, S)  # (S, 6), hoisted out of the chunk loop
+    tri_s = _tri_lower_incl(C)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
 
     # per-tile pixel vectors, transposed once into the (S, 1) orientation
-    T_final = jnp.transpose(tfin_ref[0, :, :], (1, 0))  # (S, 1)
-    n_contrib = jnp.transpose(ncontrib_ref[0, :, :], (1, 0))
-    d_r = jnp.transpose(dr_ref[0, :, :], (1, 0))
-    d_g = jnp.transpose(dg_ref[0, :, :], (1, 0))
-    d_b = jnp.transpose(db_ref[0, :, :], (1, 0))
-    d_dep = jnp.transpose(ddep_ref[0, :, :], (1, 0))
-    d_tf = jnp.transpose(dtfin_ref[0, :, :], (1, 0))
+    T_final = jnp.transpose(g6_ref[g, 0:1, :], (1, 0))  # (S, 1)
+    d_r = jnp.transpose(g6_ref[g, 1:2, :], (1, 0))
+    d_g = jnp.transpose(g6_ref[g, 2:3, :], (1, 0))
+    d_b = jnp.transpose(g6_ref[g, 3:4, :], (1, 0))
+    d_dep = jnp.transpose(g6_ref[g, 4:5, :], (1, 0))
+    d_tf = jnp.transpose(g6_ref[g, 5:6, :], (1, 0))
+    n_contrib = jnp.transpose(ncontrib_ref[g, :, :], (1, 0))
+    D4 = jnp.concatenate([d_r, d_g, d_b, d_dep], axis=1)  # (S, 4)
+    tfd = d_tf * T_final  # (S, 1)
 
-    nc_max = jnp.max(n_contrib)
-    n_chunks = pl.cdiv(off + jnp.minimum(nc_max, count), C)
+    n_chunks = pl.cdiv(off + jnp.minimum(nc_max_ref[t], count), C)
+
+    def rec_dma(c, slot):
+        return pltpu.make_async_copy(
+            records_ref.at[:, pl.ds(pl.multiple_of(base + c * C, C), C)],
+            rec_buf.at[slot],
+            rec_sem.at[slot],
+        )
+
+    def acc_dma(c, slot):
+        return pltpu.make_async_copy(
+            d_records_ref.at[:, pl.ds(pl.multiple_of(base + c * C, C), C)],
+            acc_buf.at[slot],
+            acc_sem.at[slot],
+        )
+
+    def out_dma(c, slot):
+        return pltpu.make_async_copy(
+            drec_buf.at[slot],
+            d_records_ref.at[:, pl.ds(pl.multiple_of(base + c * C, C), C)],
+            out_sem.at[slot],
+        )
+
+    # prefetch the first processed chunk (the deepest one)
+    @pl.when(n_chunks > 0)
+    def _():
+        rec_dma(n_chunks - 1, jax.lax.rem(n_chunks - 1, 2)).start()
+        acc_dma(n_chunks - 1, jax.lax.rem(n_chunks - 1, 2)).start()
 
     T_run_ref[:, :] = T_final
-    suf_ref[:, :] = jnp.zeros((S, 4), jnp.float32)
+    suf_ref[:, :] = jnp.zeros((S, 1), jnp.float32)
 
     def cond(c_rev):
         return c_rev < n_chunks
 
     def body(c_rev):
         c = n_chunks - 1 - c_rev
-        copy = pltpu.make_async_copy(
-            records_ref.at[:, pl.ds(pl.multiple_of(base + c * C, C), C)], rec_buf, dma_sem
-        )
-        copy.start()
-        # prefetch the existing d_records chunk for the accumulate-write:
-        # boundary chunks are shared with the adjacent tile's cotangents
-        acc_copy = pltpu.make_async_copy(
-            d_records_ref.at[:, pl.ds(pl.multiple_of(base + c * C, C), C)],
-            acc_buf,
-            dma_sem_acc,
-        )
-        acc_copy.start()
-        copy.wait()
-        rec = rec_buf[:, :]
+        slot = jax.lax.rem(c, 2)
+        rec_dma(c, slot).wait()
+        acc_dma(c, slot).wait()
+        # fetch the next (shallower) chunk while computing this one; chunks
+        # within a tile are disjoint, so the read cannot race this chunk's
+        # write-back
+        @pl.when(c > 0)
+        def _():
+            rec_dma(c - 1, 1 - slot).start()
+            acc_dma(c - 1, 1 - slot).start()
+
+        rec = rec_buf[slot]
         T_run = T_run_ref[:, :]
-        suf = suf_ref[:, :]
+        suf = suf_ref[:, :]  # (S, 1): combined later-chunk suffix
 
         k = c * C + lane1 - off
         in_count = (k >= 0) & (k < count)
         keep = in_count & (k < n_contrib)  # (S, C)
-        alpha_raw, power = _chunk_alpha(rec, px, py, in_count)
+        alpha_raw, power = _chunk_alpha_mxu(rec, basis, in_count)
         a = jnp.where(keep, alpha_raw, 0.0)
         one_minus = jnp.maximum(1.0 - a, 1.0 - ALPHA_CLAMP)
-        sp = _rev_cumprod_lanes(one_minus, C)  # prod_{j>=i}(1-a_j)
+        # suffix product prod_{j>=i}(1-a_j) via one MXU contraction in log
+        # space (one_minus is clamped >= 0.01, so the log is finite)
+        sp = jnp.exp(_dot_lanes(jnp.log(one_minus), tri_s))
         T_i = T_run / sp
         w = a * T_i
 
-        colr = rec[6:7, :]
-        colg = rec[7:8, :]
-        colb = rec[8:9, :]
-        z = rec[9:10, :]
-        cwr = w * colr
-        cwg = w * colg
-        cwb = w * colb
-        zw = w * z
-        suf_r = _rev_cumsum_lanes(cwr, C) - cwr + suf[:, 0:1]
-        suf_g = _rev_cumsum_lanes(cwg, C) - cwg + suf[:, 1:2]
-        suf_b = _rev_cumsum_lanes(cwb, C) - cwb + suf[:, 2:3]
-        suf_d = _rev_cumsum_lanes(zw, C) - zw + suf[:, 3:4]
+        # r = the d_out-weighted color response; the reference backward's
+        # four per-channel suffix sums collapse into ONE by linearity
+        # (d_r/d_g/d_b/d_dep are constants along the pair axis)
+        r = (
+            rec[6:7, :] * d_r
+            + rec[7:8, :] * d_g
+            + rec[8:9, :] * d_b
+            + rec[9:10, :] * d_dep
+        )  # (S, C)
+        q = w * r
+        suf_q = _dot_lanes(q, tri_s)  # inclusive suffix sum (MXU)
+        suffix_after = suf_q - q + suf  # Σ_{j>i} q_j incl. later chunks
 
         inv_om = 1.0 / one_minus
-        d_alpha = (
-            d_r * (colr * T_i - suf_r * inv_om)
-            + d_g * (colg * T_i - suf_g * inv_om)
-            + d_b * (colb * T_i - suf_b * inv_om)
-            + d_dep * (z * T_i - suf_d * inv_om)
-            + d_tf * (-T_final * inv_om)
-        )
+        d_alpha = T_i * r - inv_om * (suffix_after + tfd)
         d_alpha = jnp.where(keep & (a > 0.0), d_alpha, 0.0)
 
         op = rec[5:6, :]
         G = jnp.exp(power)
         d_alpha_eff = jnp.where(op * G <= ALPHA_CLAMP, d_alpha, 0.0)
+        d_pow = a * d_alpha_eff
+
+        # all ten per-pair reductions become two MXU contractions:
+        #   M  = basis^T @ [d_pow | G*d_alpha_eff]  -> quadratic moments + d_op
+        #   dcol = D4^T @ w                          -> color/depth cotangents
+        dims_s = (((0,), (0,)), ((), ()))
+        X = jnp.concatenate([d_pow, G * d_alpha_eff], axis=1)  # (S, 2C)
+        M2 = jax.lax.dot_general(basis, X, dims_s, preferred_element_type=jnp.float32)
+        M = M2[:, :C]  # (6, C) moments of d_pow over [1, x, y, x^2, xy, y^2]
+        d_op = M2[0:1, C:]
+        dcol = jax.lax.dot_general(D4, w, dims_s, preferred_element_type=jnp.float32)
+
         mx = rec[0:1, :]
         my = rec[1:2, :]
         ca = rec[2:3, :]
         cb = rec[3:4, :]
         cc = rec[4:5, :]
-        dx = mx - px
-        dy = my - py
-        d_pow = a * d_alpha_eff
-        # per-pair reductions over pixels (sublane axis) -> (1, C) rows
-        d_mx = jnp.sum(-(ca * dx + cb * dy) * d_pow, axis=0, keepdims=True)
-        d_my = jnp.sum(-(cc * dy + cb * dx) * d_pow, axis=0, keepdims=True)
-        d_ca = jnp.sum(-0.5 * dx * dx * d_pow, axis=0, keepdims=True)
-        d_cb = jnp.sum(-dx * dy * d_pow, axis=0, keepdims=True)
-        d_cc = jnp.sum(-0.5 * dy * dy * d_pow, axis=0, keepdims=True)
-        d_op = jnp.sum(G * d_alpha_eff, axis=0, keepdims=True)
-        d_colr = jnp.sum(w * d_r, axis=0, keepdims=True)
-        d_colg = jnp.sum(w * d_g, axis=0, keepdims=True)
-        d_colb = jnp.sum(w * d_b, axis=0, keepdims=True)
-        d_z = jnp.sum(w * d_dep, axis=0, keepdims=True)
+        M0, Mx, My = M[0:1, :], M[1:2, :], M[2:3, :]
+        Mxx, Mxy, Myy = M[3:4, :], M[4:5, :], M[5:6, :]
+        ex = Mx - mx * M0  # Σ (x - mx) d_pow
+        ey = My - my * M0
+        d_mx = ca * ex + cb * ey
+        d_my = cc * ey + cb * ex
+        d_ca = -0.5 * (Mxx - 2.0 * mx * Mx + mx * mx * M0)
+        d_cb = -(Mxy - mx * My - my * Mx + mx * my * M0)
+        d_cc = -0.5 * (Myy - 2.0 * my * My + my * my * M0)
 
         zero_row = jnp.zeros((1, C), jnp.float32)
         drec = jnp.concatenate(
-            [d_mx, d_my, d_ca, d_cb, d_cc, d_op, d_colr, d_colg, d_colb, d_z]
+            [d_mx, d_my, d_ca, d_cb, d_cc, d_op, dcol]
             + [zero_row] * (REC_ROWS - 10),
             axis=0,
         )
-        # out-of-segment lanes contribute exactly 0 (a = 0 there), so adding
-        # onto the neighbor tile's values is a no-op for its lanes
-        acc_copy.wait()
-        drec_buf[:, :] = drec + acc_buf[:, :]
-        out_copy = pltpu.make_async_copy(
-            drec_buf,
-            d_records_ref.at[:, pl.ds(pl.multiple_of(base + c * C, C), C)],
-            dma_sem_out,
-        )
-        out_copy.start()
-        out_copy.wait()
+        # accumulate-write: out-of-segment lanes contribute exactly 0 (a = 0
+        # there), so adding onto the neighbor tile's values is a no-op for
+        # its lanes. Wait the older in-flight write before reusing its
+        # buffer (ping-pong), drain fully after the loop.
+        @pl.when(c_rev >= 2)
+        def _():
+            out_dma(c + 2, slot).wait()
 
-        # transmittance before this chunk's first pair: divide by the chunk's
-        # total product (sp column 0) via one-hot contraction
+        drec_buf[slot] = drec + acc_buf[slot]
+        out_dma(c, slot).start()
+
+        # transmittance before this chunk's first pair (divide by the chunk
+        # total product = sp column 0) and the suffix carry (= suf_q column 0,
+        # the chunk's total Σq) — both via one one-hot contraction
         onehot0 = (jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0) == 0).astype(sp.dtype)
-        sp0 = jax.lax.dot_general(
-            sp, onehot0, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        T_run_ref[:, :] = T_run / sp0
-        suf_ref[:, :] = suf + jnp.concatenate(
-            [
-                jnp.sum(cwr, axis=1, keepdims=True),
-                jnp.sum(cwg, axis=1, keepdims=True),
-                jnp.sum(cwb, axis=1, keepdims=True),
-                jnp.sum(zw, axis=1, keepdims=True),
-            ],
-            axis=1,
-        )
+        col0 = jax.lax.dot_general(
+            jnp.concatenate([sp, suf_q], axis=0), onehot0,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )  # (2S, 1)
+        T_run_ref[:, :] = T_run / col0[:S]
+        suf_ref[:, :] = suf + col0[S:]
         return c_rev + 1
 
     jax.lax.while_loop(cond, body, jnp.int32(0))
 
+    # drain outstanding writes: the next tile may read these chunks
+    @pl.when(n_chunks >= 2)
+    def _():
+        out_dma(1, jax.lax.rem(1, 2)).wait()
 
-@functools.partial(jax.jit, static_argnames=("TW", "TH", "ts", "chunk", "interpret"))
+    @pl.when(n_chunks >= 1)
+    def _():
+        out_dma(0, 0).wait()
+
+
+def _backward_kernel(
+    tile_start_ref, tile_count_ref, nc_max_ref,
+    records_ref,  # (16, P) HBM
+    g6_ref,  # (G, 6, S): T_final, d_r, d_g, d_b, d_dep, d_Tfin
+    ncontrib_ref,  # (G, 1, S) int32
+    zeros_ref,  # (16, P) HBM — aliased to the output (pre-zeroed)
+    d_records_ref,  # (16, P) HBM (aliased)
+    rec_buf,  # (2, 16, C)
+    acc_buf,  # (2, 16, C)
+    drec_buf,  # (2, 16, C)
+    rec_sem, acc_sem, out_sem,
+    T_run_ref, suf_ref,
+    *, TW: int, ts: int, C: int, G: int,
+):
+    step = pl.program_id(0)
+    for g in range(G):
+        _backward_tile(
+            step * G + g, g, tile_start_ref, tile_count_ref, nc_max_ref,
+            records_ref, g6_ref, ncontrib_ref, d_records_ref,
+            rec_buf, acc_buf, drec_buf, rec_sem, acc_sem, out_sem,
+            T_run_ref, suf_ref, TW=TW, ts=ts, C=C,
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("TW", "TH", "ts", "chunk", "interpret", "group")
+)
 def blend_backward_pallas(
     records,  # (16, P)
     tile_start,
@@ -443,39 +597,47 @@ def blend_backward_pallas(
     ts: int,
     chunk: int = 128,
     interpret: bool = False,
+    group: int = 8,
 ):
     T = TW * TH
     S = ts * ts
     P = records.shape[1]
-    kernel = functools.partial(_backward_kernel, TW=TW, ts=ts, C=chunk)
+    G = min(group, T)
+    T_pad = -(-T // G) * G
 
-    def tile_spec():
-        return pl.BlockSpec((1, 1, S), lambda t, *_: (t, 0, 0), memory_space=pltpu.VMEM)
+    nc_max = jnp.max(n_contrib, axis=1).astype(jnp.int32)  # (T,) scalar-prefetched
+    g6 = jnp.stack(
+        [T_final, d_rgb[..., 0], d_rgb[..., 1], d_rgb[..., 2], d_dep, d_Tfin], axis=1
+    )  # (T, 6, S)
+    nc3 = n_contrib[:, None, :]
+    if T_pad != T:
+        pad = T_pad - T
+        tile_start = jnp.concatenate([tile_start, jnp.zeros(pad, jnp.int32)])
+        tile_count = jnp.concatenate([tile_count, jnp.zeros(pad, jnp.int32)])
+        nc_max = jnp.concatenate([nc_max, jnp.zeros(pad, jnp.int32)])
+        g6 = jnp.concatenate([g6, jnp.zeros((pad, 6, S), jnp.float32)])
+        nc3 = jnp.concatenate([nc3, jnp.zeros((pad, 1, S), jnp.int32)])
 
+    kernel = functools.partial(_backward_kernel, TW=TW, ts=ts, C=chunk, G=G)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(T,),
+        num_scalar_prefetch=3,
+        grid=(T_pad // G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # records
-            tile_spec(),  # T_final
-            tile_spec(),  # n_contrib
-            tile_spec(),  # d_r
-            tile_spec(),  # d_g
-            tile_spec(),  # d_b
-            tile_spec(),  # d_dep
-            tile_spec(),  # d_Tfin
+            pl.BlockSpec((G, 6, S), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, S), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),  # zeros (aliased to output)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((REC_ROWS, chunk), jnp.float32),  # rec_buf
-            pltpu.VMEM((REC_ROWS, chunk), jnp.float32),  # drec_buf
-            pltpu.VMEM((REC_ROWS, chunk), jnp.float32),  # acc_buf
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, REC_ROWS, chunk), jnp.float32),  # rec_buf
+            pltpu.VMEM((2, REC_ROWS, chunk), jnp.float32),  # acc_buf
+            pltpu.VMEM((2, REC_ROWS, chunk), jnp.float32),  # drec_buf
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((S, 1), jnp.float32),  # T_run
-            pltpu.VMEM((S, 4), jnp.float32),  # suffix sums
+            pltpu.VMEM((S, 1), jnp.float32),  # combined suffix sum
         ],
     )
     zeros = jnp.zeros((REC_ROWS, P), jnp.float32)
@@ -483,14 +645,12 @@ def blend_backward_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((REC_ROWS, P), jnp.float32),
-        input_output_aliases={10: 0},  # zeros input (after 2 scalar-prefetch args)
+        input_output_aliases={6: 0},  # zeros input (after 3 scalar-prefetch args)
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
-        tile_start, tile_count, records,
-        T_final[:, None, :], n_contrib[:, None, :],
-        d_rgb[..., 0][:, None, :], d_rgb[..., 1][:, None, :], d_rgb[..., 2][:, None, :],
-        d_dep[:, None, :], d_Tfin[:, None, :],
+        tile_start, tile_count, nc_max, records,
+        g6, nc3,
         zeros,
     )
     return d_records

@@ -46,7 +46,7 @@ def _row_weights(disp_row, W):
 
 
 def _fwd_kernel(disp_ref, img_ref, out_ref, diff_ref, *, W: int):
-    d = disp_ref[:, :]  # (1, W)
+    d = disp_ref[0, :, :]  # (1, W)
     c0, c1, w0, w1 = _row_weights(d, W)
     wrow = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)  # source index per row
     oh0 = (wrow == c0).astype(jnp.float32)  # (W, W): [w == c0[c]]
@@ -64,7 +64,7 @@ def _fwd_kernel(disp_ref, img_ref, out_ref, diff_ref, *, W: int):
 
 
 def _bwd_kernel(disp_ref, dout_ref, dimg_ref, *, W: int):
-    d = disp_ref[:, :]
+    d = disp_ref[0, :, :]  # (1, W)
     c0, c1, w0, w1 = _row_weights(d, W)
     wrow = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
     M = (wrow == c0).astype(jnp.float32) * w0 + (wrow == c1).astype(jnp.float32) * w1
@@ -80,11 +80,14 @@ def warp_forward_pallas(image, disparity, interpret: bool = False):
     """image: (H, W, C); disparity: (H, W). Returns (out, diff)."""
     H, W, C = image.shape
     kernel = functools.partial(_fwd_kernel, W=W)
+    # disparity is fed as (H, 1, W): Mosaic requires a block's last two dims
+    # to divide (8, 128) or equal the array dims — (1, W) against (H, W) does
+    # neither, (1, 1, W) against (H, 1, W) matches both trailing dims
     out, diff = pl.pallas_call(
         kernel,
         grid=(H,),
         in_specs=[
-            pl.BlockSpec((1, W), lambda h: (h, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W), lambda h: (h, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, W, C), lambda h: (h, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -96,7 +99,7 @@ def warp_forward_pallas(image, disparity, interpret: bool = False):
             jax.ShapeDtypeStruct((H, W, C), jnp.float32),
         ],
         interpret=interpret,
-    )(disparity, image)
+    )(disparity[:, None, :], image)
     return out, diff
 
 
@@ -109,10 +112,10 @@ def warp_backward_pallas(disparity, d_out, interpret: bool = False):
         kernel,
         grid=(H,),
         in_specs=[
-            pl.BlockSpec((1, W), lambda h: (h, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W), lambda h: (h, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, W, C), lambda h: (h, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, W, C), lambda h: (h, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((H, W, C), jnp.float32),
         interpret=interpret,
-    )(disparity, d_out)
+    )(disparity[:, None, :], d_out)

