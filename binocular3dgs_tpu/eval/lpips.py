@@ -34,17 +34,31 @@ SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 
 def convert_torch_weights(vgg_state: dict, lin_state: dict) -> dict[str, np.ndarray]:
-    """torchvision vgg16 `features.*` + richzhang `lin*.model.1.weight` state
-    dicts (as numpy) -> flat npz-able dict."""
+    """torchvision vgg16 `features.*` + richzhang linear-head state dicts
+    (as numpy or torch tensors) -> flat npz-able dict.
+
+    Accepts the raw richzhang download layout (`lin{l}.model.1.weight`, what
+    `lpipsPyTorch/modules/utils.py:13-20` downloads) AND the renamed layout
+    the reference produces from it (`{l}.1.weight`, after stripping 'lin'
+    and 'model.')."""
+
+    def arr(v):
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
     out = {}
     conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
     for i, idx in enumerate(conv_idx):
-        w = np.asarray(vgg_state[f"features.{idx}.weight"])  # (O, I, 3, 3)
-        b = np.asarray(vgg_state[f"features.{idx}.bias"])
+        w = arr(vgg_state[f"features.{idx}.weight"])  # (O, I, 3, 3)
+        b = arr(vgg_state[f"features.{idx}.bias"])
         out[f"conv{i}.w"] = np.transpose(w, (2, 3, 1, 0))  # HWIO
         out[f"conv{i}.b"] = b
     for l in range(5):
-        w = np.asarray(lin_state[f"lin{l}.model.1.weight"])  # (1, C, 1, 1)
+        for key in (f"lin{l}.model.1.weight", f"{l}.1.weight"):
+            if key in lin_state:
+                w = arr(lin_state[key])  # (1, C, 1, 1)
+                break
+        else:
+            raise KeyError(f"linear head {l} not found in lin_state")
         out[f"lin{l}.w"] = w[0, :, 0, 0]
     return out
 
@@ -61,8 +75,10 @@ def load_lpips_weights(path: str) -> dict[str, np.ndarray]:
 def _vgg_features(weights, x):
     """x: (B, H, W, 3) in [0,1] -> list of 5 feature maps (after each block's
     last relu, with 2x2 maxpool between blocks)."""
-    # LPIPS ScalingLayer: (x*2-1 - shift) / scale on the [-1,1]-scaled input
-    x = ((x * 2.0 - 1.0) - SHIFT) / SCALE
+    # the reference feeds [0,1] images straight into z_score — no [-1,1]
+    # rescale (lpipsPyTorch/modules/networks.py:50-53, called from metrics.py
+    # with [0,1] tensors)
+    x = (x - SHIFT) / SCALE
     feats = []
     ci = 0
     for b, (n, chans) in enumerate(VGG16_CFG):
@@ -93,8 +109,9 @@ def make_lpips(weights: dict[str, np.ndarray]):
         fy = _vgg_features(weights, y)
         total = 0.0
         for l, (a, b) in enumerate(zip(fx, fy)):
-            a = a / jnp.sqrt(jnp.sum(a * a, axis=-1, keepdims=True) + 1e-10)
-            b = b / jnp.sqrt(jnp.sum(b * b, axis=-1, keepdims=True) + 1e-10)
+            # reference normalize_activation: x / (sqrt(sum x^2) + eps)
+            a = a / (jnp.sqrt(jnp.sum(a * a, axis=-1, keepdims=True)) + 1e-10)
+            b = b / (jnp.sqrt(jnp.sum(b * b, axis=-1, keepdims=True)) + 1e-10)
             d = (a - b) ** 2
             lin = jnp.asarray(weights[f"lin{l}.w"])
             total = total + jnp.mean(jnp.sum(d * lin, axis=-1), axis=(1, 2))

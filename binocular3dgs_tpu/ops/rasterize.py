@@ -118,6 +118,30 @@ def _blend_records_pallas_bwd(TW, TH, ts, chunk, interpret, group, res, cots):
 _blend_records_pallas.defvjp(_blend_records_pallas_fwd, _blend_records_pallas_bwd)
 
 
+@jax.custom_vjp
+def _reorder_fields(fields, order, inv_order):
+    """fields[:, order] with a gather-based VJP: XLA's transpose of a
+    permutation gather is a scatter (~3 ms at (16, 100k) on a v5e); gathering
+    by the inverse permutation is ~10x cheaper."""
+    return fields[:, order]
+
+
+def _reorder_fields_fwd(fields, order, inv_order):
+    return fields[:, order], inv_order
+
+
+def _reorder_fields_bwd(inv_order, d_fd):
+    f0 = jax.dtypes.float0
+    return (
+        d_fd[:, inv_order],
+        np.zeros(inv_order.shape, dtype=f0),
+        np.zeros(inv_order.shape, dtype=f0),
+    )
+
+
+_reorder_fields.defvjp(_reorder_fields_fwd, _reorder_fields_bwd)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _gather_records(fields_d, pair_gauss, chunk, n):
     """records = fields_d[:, pair_gauss] (+ chunk padding), with a custom VJP.
@@ -250,7 +274,8 @@ def render_tiled(
         interpret = jax.default_backend() != "tpu"
         chunk = raster.pallas_chunk
         fields = _build_fields(proj, mean2d)
-        fields_d = fields[:, binning.order]  # depth reorder — differentiable
+        inv_order = jnp.argsort(binning.order).astype(jnp.int32)
+        fields_d = _reorder_fields(fields, binning.order, inv_order)
         # pair gather (custom VJP; pads the pair axis so a partial final DMA
         # chunk never reads OOB)
         records = _gather_records(fields_d, binning.pair_gauss, chunk, N)

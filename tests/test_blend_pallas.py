@@ -25,6 +25,7 @@ def small_camera():
 
 class TestPallasBlend:
     @pytest.mark.parametrize("seed", [0, 1])
+    @pytest.mark.slow
     def test_forward_parity(self, seed):
         cam = small_camera()
         m = random_scene(seed=seed, n=24, spread=0.8)
@@ -48,6 +49,7 @@ class TestPallasBlend:
         np.testing.assert_allclose(out_p.image, out_d.image, atol=3e-5)
         np.testing.assert_allclose(out_p.alpha, out_d.alpha, atol=3e-5)
 
+    @pytest.mark.slow
     def test_gradient_parity(self):
         cam = small_camera()
         m = random_scene(seed=3, n=20, spread=0.8)

@@ -38,6 +38,7 @@ class TestShardedRender:
         np.testing.assert_allclose(out_s.alpha, out_1.alpha, atol=1e-5)
         np.testing.assert_allclose(out_s.radii, out_1.radii)
 
+    @pytest.mark.slow
     def test_pallas_backend_matches_single_device(self):
         """The production TPU configuration — band-sharded render with the
         Pallas blend — must match the single-device render (interpret mode
@@ -70,6 +71,7 @@ class TestShardedRender:
             scale = np.abs(a).max() + 1e-8
             np.testing.assert_allclose(b, a, atol=1e-2 * scale, err_msg=name)
 
+    @pytest.mark.slow
     def test_gradients_match_with_psum(self):
         cam = camera()
         m = random_scene(seed=1, n=32)
@@ -93,6 +95,7 @@ class TestShardedRender:
 
 
 class TestShardedTrainStep:
+    @pytest.mark.slow
     def test_step_matches_single_device(self):
         cfg = Config()
         cfg.raster = RASTER

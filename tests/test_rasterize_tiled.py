@@ -156,6 +156,7 @@ class TestTiledVsDense:
         np.testing.assert_allclose(out_t.alpha, out_d.alpha, atol=3e-5)
 
     @pytest.mark.parametrize("seed", [0, 7])
+    @pytest.mark.slow
     def test_gradient_parity(self, seed):
         cam = simple_camera()
         m = random_scene(seed=seed, n=40)

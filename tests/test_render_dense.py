@@ -215,6 +215,7 @@ class TestDenseRenderer:
         assert np.isfinite(np.asarray(cgrad)).all()
         assert np.abs(np.asarray(cgrad)).sum() > 0
 
+    @pytest.mark.slow
     def test_numerical_gradient_xyz(self):
         # float64 so the finite difference is trustworthy (verified to agree
         # to ~1e-9 relative at eps=1e-4)

@@ -247,6 +247,7 @@ class TestTrainStep:
         )
         return cfg, state, cam, gt, step
 
+    @pytest.mark.slow
     def test_loss_decreases(self):
         cfg, state, cam, gt, step = self._setup()
         key = jax.random.PRNGKey(0)

@@ -1,8 +1,11 @@
 """End-to-end Trainer test on a synthetic multi-view scene (in-memory)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from binocular3dgs_tpu.config import Config
 from binocular3dgs_tpu.core.camera import make_camera
@@ -50,6 +53,7 @@ def build_synthetic_scene(n_views=3, n_pts=80, seed=0):
 
 
 class TestTrainerE2E:
+    @pytest.mark.slow
     def test_short_training_improves_psnr(self):
         scene = build_synthetic_scene()
         cfg = Config()
@@ -68,6 +72,7 @@ class TestTrainerE2E:
         n = int(trainer.state.model.count())
         assert 10 <= n <= trainer.state.model.capacity
 
+    @pytest.mark.slow
     def test_capacity_growth(self):
         scene = build_synthetic_scene(n_pts=30)
         cfg = Config()
@@ -88,3 +93,95 @@ class TestTrainerE2E:
         assert st.adam_m.xyz.shape[0] == cap
         assert st.grad_accum.shape[0] == cap
         assert int(st.model.count()) <= cap
+
+
+def build_blender_scene(root, n_train=100, n_test=4, w=64, h=48):
+    """Synthetic NeRF-synthetic scene: transforms_{train,test}.json + RGBA
+    PNGs whose alpha marks a centered foreground blob."""
+    import json as _json
+
+    from PIL import Image
+
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(0)
+
+    def make_split(name, n, offset=0.0):
+        frames = []
+        for i in range(n):
+            ang = (i - n / 2) * 0.06 + offset
+            # camera on a ring looking at the origin (OpenGL convention)
+            pos = np.array([2.5 * np.sin(ang), 0.3, 2.5 * np.cos(ang)])
+            z_axis = pos / np.linalg.norm(pos)  # OpenGL -z forward
+            x_axis = np.cross([0, 1, 0], z_axis)
+            x_axis = x_axis / np.linalg.norm(x_axis)
+            y_axis = np.cross(z_axis, x_axis)
+            c2w = np.eye(4)
+            c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = x_axis, y_axis, z_axis, pos
+            rgba = np.zeros((h, w, 4), np.uint8)
+            rgba[..., :3] = rng.integers(0, 255, (h, w, 3))
+            yy, xx = np.mgrid[0:h, 0:w]
+            blob = ((yy - h / 2) ** 2 + (xx - w / 2) ** 2) < (h / 3) ** 2
+            rgba[..., 3] = (blob * 255).astype(np.uint8)
+            fname = f"{name}_{i:02d}"
+            Image.fromarray(rgba).save(os.path.join(root, fname + ".png"))
+            frames.append({"file_path": fname, "transform_matrix": c2w.tolist()})
+        with open(os.path.join(root, f"transforms_{name}.json"), "w") as f:
+            _json.dump({"camera_angle_x": 0.9, "frames": frames}, f)
+
+    make_split("train", n_train)
+    make_split("test", n_test, offset=0.02)
+
+
+class TestBlenderE2E:
+    @pytest.mark.slow
+    def test_blender_protocol_short_run(self, tmp_path):
+        """The Blender protocol end to end (reference script/run_blender.py:
+        20-43: 8 fixed train views, white background, alpha loss, binocular
+        from shift_cam_start): a short run trains, reports, and renders with
+        finite outputs and the alpha loss active (VERDICT r1 next-round #10)."""
+        from binocular3dgs_tpu.config import Config, RasterConfig
+        from binocular3dgs_tpu.data.dataset import Scene
+        from binocular3dgs_tpu.train.loop import Trainer, alpha_weight_for_view
+
+        scene_dir = str(tmp_path / "lego")
+        build_blender_scene(scene_dir)
+
+        cfg = Config()
+        cfg.model.source_path = scene_dir
+        cfg.model.white_background = True
+        cfg.model.eval = True
+        cfg.model.resolution = 1
+        cfg.train.dataset_name = "Blender"
+        cfg.train.n_views = 8
+        cfg.train.shift_cam_start = 5  # binocular branch exercised
+        cfg.train.test_iterations = (15,)
+        cfg.train.save_iterations = ()
+        cfg.opt.densify_from_iter = 4
+        cfg.opt.densification_interval = 8
+        cfg.raster = RasterConfig(backend="xla", max_pairs_per_tile=128, chunk=8,
+                                  pairs_per_gaussian=8)
+
+        # pre-seed a small init PLY so the reader skips its 100k random init
+        from binocular3dgs_tpu.data.ply import store_point_cloud
+
+        rng = np.random.default_rng(1)
+        store_point_cloud(
+            os.path.join(scene_dir, "points3d.ply"),
+            rng.random((200, 3)) * 1.2 - 0.6,
+            rng.integers(0, 255, (200, 3)),
+        )
+        scene = Scene.load(cfg)
+        assert len(scene.train_views) == 8  # BLENDER_TRAIN_INDICES
+        assert scene.train_views[0].alpha_mask is not None
+        aw = alpha_weight_for_view(cfg, scene.train_views[0])
+        assert aw.max() == 1.0 and aw.min() == 0.0  # background weighted
+
+        trainer = Trainer(cfg, scene)
+        assert trainer.use_alpha_weight
+        assert float(jnp.max(trainer.bg)) == 1.0  # white background
+        trainer.train(iterations=15)
+        out = trainer.render_view(scene.test_views[0])
+        assert np.isfinite(np.asarray(out.image)).all()
+        assert float(out.alpha.max()) <= 1.0 + 1e-5
+        report = trainer.report(15)
+        assert np.isfinite(report["test"]["psnr"])
