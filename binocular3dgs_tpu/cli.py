@@ -81,6 +81,12 @@ def cmd_train(argv):
     p.add_argument("--max_pairs_per_tile", type=int, default=2048)
     p.add_argument("--pairs_per_gaussian", type=int, default=12)
     p.add_argument("--raster_chunk", type=int, default=32)
+    p.add_argument("--fused_steps", type=int, default=0,
+                   help="iterations per device dispatch (0=auto, 1=off)")
+    p.add_argument("--debug", action="store_true",
+                   help="abort + dump state on non-finite loss (reference --detect_anomaly)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of the first ~200 iterations here")
     p.add_argument("--quiet", "-q", action="store_true")
     args = p.parse_args(argv)
 
@@ -108,9 +114,11 @@ def cmd_train(argv):
     cfg.raster.max_pairs_per_tile = args.max_pairs_per_tile
     cfg.raster.pairs_per_gaussian = args.pairs_per_gaussian
     cfg.raster.chunk = args.raster_chunk
+    cfg.train.fused_steps = args.fused_steps
+    cfg.pipeline.debug = args.debug
 
     from .data.dataset import Scene
-    from .train.loop import Trainer, load_checkpoint
+    from .train.loop import Trainer, find_latest_checkpoint, load_checkpoint
 
     if cfg.model.model_path:
         os.makedirs(cfg.model.model_path, exist_ok=True)
@@ -118,10 +126,16 @@ def cmd_train(argv):
     print(f"Optimizing {cfg.model.model_path}")
     scene = Scene.load(cfg)
     trainer = Trainer(cfg, scene)
-    if args.start_checkpoint:
-        state, first_iter = load_checkpoint(args.start_checkpoint)
+    first_iter = 0
+    ckpt_path = args.start_checkpoint
+    if ckpt_path == "latest":  # resume-from-latest discovery
+        ckpt_path = find_latest_checkpoint(cfg.model.model_path)
+        if ckpt_path is None:
+            print("No checkpoint found; starting fresh")
+    if ckpt_path:
+        state, first_iter = load_checkpoint(ckpt_path)
         trainer.state = state
-        print(f"Resumed from {args.start_checkpoint} at iteration {first_iter}")
+        print(f"Resumed from {ckpt_path} at iteration {first_iter}")
 
     def progress(entry):
         if not args.quiet:
@@ -132,7 +146,21 @@ def cmd_train(argv):
                 flush=True,
             )
 
-    trainer.train(args.iterations, progress=progress)
+    if args.profile_dir:
+        import jax
+
+        n_prof = min(args.iterations, first_iter + 200)
+        with jax.profiler.trace(args.profile_dir):
+            trainer.train(n_prof, progress=progress, first_iteration=first_iter + 1)
+        first_iter = n_prof
+        print(f"profiler trace written to {args.profile_dir}")
+    trainer.train(args.iterations, progress=progress, first_iteration=first_iter + 1)
+    if cfg.model.model_path and trainer.log:
+        import dataclasses as _dc
+        import json as _json
+
+        with open(os.path.join(cfg.model.model_path, "train_log.json"), "w") as f:
+            _json.dump([_dc.asdict(e) for e in trainer.log], f)
     print(f"\nTraining complete. {cfg.model.model_path}")
 
 

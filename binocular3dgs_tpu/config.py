@@ -71,6 +71,13 @@ class TrainConfig:
     checkpoint_iterations: tuple[int, ...] = ()
     start_checkpoint: str | None = None
     seed: int = 0
+    # Host-loop elimination: run up to this many train iterations per device
+    # dispatch as one jit'd lax.fori_loop (camera selection moves on-device
+    # to jax.random — statistically equivalent to the reference's host
+    # random.choice, not bit-identical). Chunks never straddle protocol
+    # boundaries (SH bumps, densification, binocular flip, report/save).
+    # 0 = auto (densification_interval); 1 = one dispatch per iteration.
+    fused_steps: int = 0
 
 
 @dataclass

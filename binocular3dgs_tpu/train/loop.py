@@ -8,7 +8,12 @@ checkpoint_iterations, PSNR/L1 report at test_iterations.
 
 TPU-specific: fixed-capacity buffers grow (next power of two) when
 densification fills past the configured trigger; jit caches are keyed by
-capacity so growth costs one recompile.
+capacity so growth costs one recompile. Host-loop elimination
+(TrainConfig.fused_steps) runs up to densification_interval iterations per
+device dispatch as one jit'd fori_loop with on-device view sampling —
+chunks never straddle protocol boundaries, so the math per iteration is
+identical to the per-step path (only the view-sampling RNG stream differs
+from the reference's host random.choice).
 """
 
 from __future__ import annotations
@@ -121,52 +126,139 @@ class Trainer:
             )
         return self._step_cache[key]
 
+    def _get_fused_fn(self, binocular: bool, n_steps: int):
+        """n_steps train iterations as ONE device dispatch: a jit'd fori_loop
+        with on-device view sampling. Amortizes per-dispatch overhead (the
+        reference pays a full host round trip per iteration)."""
+        key = ("fused", binocular, self.state.model.capacity,
+               self.state.model.active_sh_degree, n_steps)
+        if key not in self._step_cache:
+            step_fn = self._get_step_fn(binocular)
+            n_views = len(self.views)
+
+            @jax.jit
+            def fused(state, cams, gts, aws, start_iter, key, bg):
+                def body(i, carry):
+                    st, k, _ = carry
+                    k, k_view, k_step = jax.random.split(k, 3)
+                    vidx = jax.random.randint(k_view, (), 0, n_views)
+                    camera = jax.tree.map(lambda x: x[vidx], cams)
+                    st, metrics = step_fn(
+                        st, camera, gts[vidx], aws[vidx], start_iter + i, k_step, bg
+                    )
+                    return (st, k, metrics)
+
+                from .step import StepMetrics
+
+                zero_m = StepMetrics(
+                    loss=jnp.zeros(()), l1=jnp.zeros(()),
+                    disparity_loss=jnp.zeros(()), alpha_loss=jnp.zeros(()),
+                    n_visible=jnp.zeros((), jnp.int32),
+                )
+                st, _, metrics = jax.lax.fori_loop(
+                    0, n_steps, body, (state, key, zero_m)
+                )
+                return st, metrics
+
+            self._step_cache[key] = fused
+        return self._step_cache[key]
+
+    def _fused_span(self, it: int, iterations: int, binocular_from: int) -> int:
+        """Longest fused chunk starting at `it` that crosses no protocol
+        boundary (SH bump starts a chunk; densify/report/save/checkpoint may
+        only END a chunk; the binocular flip starts one)."""
+        cfg, opt = self.cfg, self.cfg.opt
+        cap = cfg.train.fused_steps if cfg.train.fused_steps > 0 else opt.densification_interval
+        n = min(cap, iterations - it + 1)
+        # SH bump happens at the START of iteration j for j % 1000 == 0
+        next_bump = (it // 1000 + 1) * 1000
+        n = min(n, next_bump - it)
+        # binocular flips ON at iteration shift_cam_start + 1
+        if cfg.train.binocular_consistency and it <= cfg.train.shift_cam_start:
+            n = min(n, binocular_from - it)
+        # densification runs AFTER iteration j (j % interval == 0, in range)
+        densify_until = iterations if cfg.train.opacity_decay else opt.densify_until_iter
+        interval = opt.densification_interval
+        j = (it // interval + (0 if it % interval == 0 else 1)) * interval
+        while j <= opt.densify_from_iter:  # skip triggers before the range
+            j += interval
+        if it <= j < densify_until:
+            n = min(n, j - it + 1)
+        # host-side events after iteration j
+        for marks in (cfg.train.test_iterations, cfg.train.save_iterations,
+                      cfg.train.checkpoint_iterations):
+            for m in marks:
+                if m >= it:
+                    n = min(n, m - it + 1)
+        return max(n, 1)
+
     # -- main loop -----------------------------------------------------------
-    def train(self, iterations: int | None = None, progress=None):
+    def train(self, iterations: int | None = None, progress=None, first_iteration: int = 1):
         cfg = self.cfg
         opt = cfg.opt
         iterations = iterations or opt.iterations
         t0 = time.time()
-        last_log_t, last_log_it = t0, 0
+        last_log_t, last_log_it = t0, first_iteration - 1
 
-        for iteration in range(1, iterations + 1):
+        binocular_from = cfg.train.shift_cam_start + 1
+        iteration = first_iteration
+        while iteration <= iterations:
             if iteration % 1000 == 0:
                 self.state = self.state.replace(model=self.state.model.one_up_sh_degree())
-
-            view_idx = self.rng.randrange(len(self.views))
-            camera = _index_camera(self.cams, view_idx)
 
             binocular = (
                 cfg.train.binocular_consistency and iteration > cfg.train.shift_cam_start
             )
             self.key, sub = jax.random.split(self.key)
-            step_fn = self._get_step_fn(binocular)
-            self.state, metrics = step_fn(
-                self.state,
-                camera,
-                self.gt_images[view_idx],
-                self.alpha_weights[view_idx],
-                jnp.int32(iteration),
-                sub,
-                self.bg,
-            )
+            n = self._fused_span(iteration, iterations, binocular_from)
+            if n > 1:
+                fused = self._get_fused_fn(binocular, n)
+                self.state, metrics = fused(
+                    self.state, self.cams, self.gt_images, self.alpha_weights,
+                    jnp.int32(iteration), sub, self.bg,
+                )
+            else:
+                view_idx = self.rng.randrange(len(self.views))
+                camera = _index_camera(self.cams, view_idx)
+                step_fn = self._get_step_fn(binocular)
+                self.state, metrics = step_fn(
+                    self.state,
+                    camera,
+                    self.gt_images[view_idx],
+                    self.alpha_weights[view_idx],
+                    jnp.int32(iteration),
+                    sub,
+                    self.bg,
+                )
+            last_it = iteration + n - 1
 
             densify_until = (
                 iterations if cfg.train.opacity_decay else opt.densify_until_iter
             )
             if (
-                iteration < densify_until
-                and iteration > opt.densify_from_iter
-                and iteration % opt.densification_interval == 0
+                last_it < densify_until
+                and last_it > opt.densify_from_iter
+                and last_it % opt.densification_interval == 0
             ):
-                self._densify(iteration)
+                self._densify(last_it)
 
-            if progress is not None and iteration % 10 == 0:
+            # --detect_anomaly analog (reference train.py:272,297): with the
+            # debug pipeline flag, a non-finite loss dumps a state snapshot
+            # and aborts instead of silently training on garbage
+            if cfg.pipeline.debug and not np.isfinite(float(metrics.loss)):
+                path = os.path.join(cfg.model.model_path or ".", f"anomaly_{last_it}.npz")
+                save_checkpoint(self.state, last_it, path)
+                raise FloatingPointError(
+                    f"non-finite loss {float(metrics.loss)} at iteration {last_it}; "
+                    f"state dumped to {path}"
+                )
+
+            if progress is not None and (n > 1 or last_it % 10 == 0):
                 now = time.time()
-                ips = (iteration - last_log_it) / max(now - last_log_t, 1e-9)
-                last_log_t, last_log_it = now, iteration
+                ips = (last_it - last_log_it) / max(now - last_log_t, 1e-9)
+                last_log_t, last_log_it = now, last_it
                 entry = TrainerLogEntry(
-                    iteration=iteration,
+                    iteration=last_it,
                     loss=float(metrics.loss),
                     disparity_loss=float(metrics.disparity_loss),
                     points=int(self.state.model.count()),
@@ -175,12 +267,13 @@ class Trainer:
                 self.log.append(entry)
                 progress(entry)
 
-            if iteration in cfg.train.test_iterations:
-                self.report(iteration)
-            if iteration in cfg.train.save_iterations:
-                self.save(iteration)
-            if iteration in cfg.train.checkpoint_iterations:
-                self.save_checkpoint(iteration)
+            if last_it in cfg.train.test_iterations:
+                self.report(last_it)
+            if last_it in cfg.train.save_iterations:
+                self.save(last_it)
+            if last_it in cfg.train.checkpoint_iterations:
+                self.save_checkpoint(last_it)
+            iteration = last_it + 1
 
         return self.state
 
@@ -293,6 +386,23 @@ def save_checkpoint(state: TrainState, iteration: int, path: str) -> None:
     )
     arrays["spatial_lr_scale"] = np.asarray(state.model.spatial_lr_scale)
     np.savez(path, **arrays)
+
+
+def find_latest_checkpoint(model_path: str) -> str | None:
+    """Resume-from-latest discovery (the reference has none — its only
+    resilience is the dispatcher retry loop, SURVEY §5): newest chkpnt<N>.npz
+    in the model dir, or None."""
+    import re
+
+    if not model_path or not os.path.isdir(model_path):
+        return None
+    best, best_it = None, -1
+    for f in os.listdir(model_path):
+        m = re.fullmatch(r"chkpnt(\d+)\.npz", f)
+        if m and int(m.group(1)) > best_it:
+            best_it = int(m.group(1))
+            best = os.path.join(model_path, f)
+    return best
 
 
 def load_checkpoint(path: str):

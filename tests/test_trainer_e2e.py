@@ -185,3 +185,43 @@ class TestBlenderE2E:
         assert float(out.alpha.max()) <= 1.0 + 1e-5
         report = trainer.report(15)
         assert np.isfinite(report["test"]["psnr"])
+
+
+class TestFusedSpans:
+    def _trainer(self, **train_kw):
+        from test_trainer_e2e import make_scene  # self-module helper if present
+        raise NotImplementedError
+
+    def test_span_boundaries(self):
+        """Fused chunks must end exactly at densify/report/save triggers and
+        start fresh at SH bumps and the binocular flip."""
+        from binocular3dgs_tpu.config import Config
+
+        cfg = Config()
+        cfg.opt.densification_interval = 100
+        cfg.opt.densify_from_iter = 500
+        cfg.train.shift_cam_start = 20_000
+        cfg.train.test_iterations = (30_000,)
+        cfg.train.save_iterations = (30_000,)
+        cfg.train.fused_steps = 0  # auto = densification_interval
+
+        t = Trainer.__new__(Trainer)  # span logic only needs cfg
+        t.cfg = cfg
+
+        span = Trainer._fused_span
+        # before densify range: capped by the interval / sh bump only
+        assert span(t, 1, 30_000, 20_001) == 100
+        # chunk may END at a densify trigger
+        assert span(t, 501, 30_000, 20_001) == 100  # 501..600, densify at 600
+        assert span(t, 601, 30_000, 20_001) == 100
+        # sh bump at 1000 starts its own chunk: 901..999
+        assert span(t, 901, 30_000, 20_001) == 99
+        assert span(t, 1000, 30_000, 20_001) == 1  # densify at 1000 ends it
+        # binocular flips ON at 20_001, but the SH bump at 20_000 caps first
+        assert span(t, 19_950, 30_000, 20_001) == 50
+        assert span(t, 20_000, 30_000, 20_001) == 1  # densify at 20_000
+        # final stretch: SH bump at 30_000 caps to 99, then the last chunk
+        # ends at the report/save iteration
+        assert span(t, 29_901, 30_000, 20_001) == 99
+        assert span(t, 29_950, 30_000, 20_001) == 50
+        assert span(t, 29_999, 30_000, 20_001) == 1
