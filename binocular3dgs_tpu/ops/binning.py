@@ -126,8 +126,8 @@ def bin_gaussians(
     by = _bits(TH)
     bt = _bits(num_tiles)
     packed_ok = (
-        (bg + bx + by <= 31) and (bg + bx <= 31) and (bg + bt <= 31)
-        and not force_fallback
+        (bg + bx + by <= 31) and (_bits(pair_capacity) + bx <= 31)
+        and (bg + bt <= 31) and not force_fallback
     )
 
     p_idx = jnp.arange(pair_capacity, dtype=jnp.int32)
@@ -136,16 +136,18 @@ def bin_gaussians(
     if packed_ok:
         g_ids = jnp.arange(n, dtype=jnp.int32)
         w1 = (g_ids << (bx + by)) | (tmin_x << by) | tmin_y
-        w2 = (g_ids << bx) | span_x
+        # span_x rides in the offsets word: colliding zero-count gaussians
+        # scatter sx=0, so the max at a shared offset still belongs to the
+        # emitting gaussian (the only collider with count > 0)
+        w2 = (offsets << bx) | jnp.where(count > 0, span_x, 0)
         a1 = _segment_fill(w1, offsets, pair_capacity)
         a2 = _segment_fill(w2, offsets, pair_capacity)
-        seg_off = _segment_fill(offsets, offsets, pair_capacity)
 
         g = a1 >> (bx + by)
         tx0 = (a1 >> by) & ((1 << bx) - 1)
         ty0 = a1 & ((1 << by) - 1)
         sx = jnp.maximum(a2 & ((1 << bx) - 1), 1)
-        j = p_idx - seg_off
+        j = p_idx - (a2 >> bx)
         tile = (ty0 + j // sx) * TW + tx0 + j % sx
 
         key = jnp.where(valid, (tile << bg) | g, num_tiles << bg)

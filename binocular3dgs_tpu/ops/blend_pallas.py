@@ -364,10 +364,8 @@ def blend_forward_pallas(
         out_shape=out_shape,
         interpret=interpret,
     )(tile_start, tile_count, records)
-    out5 = out5[:T]
-    nc = nc[:T]
-    rgb = jnp.moveaxis(out5[:, 0:3, :], 1, 2)  # (T, S, 3)
-    return rgb, out5[:, 3, :], out5[:, 4, :], nc[:, 0]
+    # raw kernel layout: (T, 5, S) rows r g b depth T_final + (T, S) int32
+    return out5[:T], nc[:T, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -587,11 +585,9 @@ def blend_backward_pallas(
     records,  # (16, P)
     tile_start,
     tile_count,
-    T_final,  # (T, S)
+    out5,  # (T, 5, S) forward output (row 4 = T_final)
     n_contrib,  # (T, S) int32
-    d_rgb,  # (T, S, 3)
-    d_dep,  # (T, S)
-    d_Tfin,  # (T, S)
+    d_out5,  # (T, 5, S) cotangents of the forward output
     TW: int,
     TH: int,
     ts: int,
@@ -606,9 +602,8 @@ def blend_backward_pallas(
     T_pad = -(-T // G) * G
 
     nc_max = jnp.max(n_contrib, axis=1).astype(jnp.int32)  # (T,) scalar-prefetched
-    g6 = jnp.stack(
-        [T_final, d_rgb[..., 0], d_rgb[..., 1], d_rgb[..., 2], d_dep, d_Tfin], axis=1
-    )  # (T, 6, S)
+    # (T, 6, S): T_final then d_r d_g d_b d_dep d_Tfin — one concat, no stacks
+    g6 = jnp.concatenate([out5[:, 4:5, :], d_out5], axis=1)
     nc3 = n_contrib[:, None, :]
     if T_pad != T:
         pad = T_pad - T

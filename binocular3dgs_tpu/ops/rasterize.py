@@ -152,9 +152,13 @@ def _gather_records(fields_d, pair_gauss, chunk, n):
     gathers (~2 ms): invalid pairs carry exactly-zero cotangents (the blend
     backward only writes inside tile segments onto a pre-zeroed buffer), so
     summing them into rank 0 is a no-op.
+
+    The chunk padding (so a partial final DMA never reads OOB) is folded into
+    the gather index — the pad columns hold rank 0's values, which every
+    consumer masks by count.
     """
-    rec = fields_d[:, pair_gauss]
-    return jnp.pad(rec, ((0, 0), (0, chunk)))
+    idx = jnp.concatenate([pair_gauss, jnp.zeros(chunk, jnp.int32)])
+    return fields_d[:, idx]
 
 
 def _gather_records_fwd(fields_d, pair_gauss, chunk, n):
@@ -172,8 +176,10 @@ def _gather_records_bwd(chunk, n, pair_gauss, d_records):
         g_sorted, jnp.arange(n + 1, dtype=jnp.int32), side="left", method="sort"
     ).astype(jnp.int32)
     lo, hi = bounds[:-1], bounds[1:]
-    hi_v = jnp.where(hi > 0, csum[:, jnp.maximum(hi - 1, 0)], 0.0)
-    lo_v = jnp.where(lo > 0, csum[:, jnp.maximum(lo - 1, 0)], 0.0)
+    idx = jnp.maximum(jnp.concatenate([hi, lo]) - 1, 0)  # one combined gather
+    both = csum[:, idx]
+    hi_v = jnp.where(hi > 0, both[:, :n], 0.0)
+    lo_v = jnp.where(lo > 0, both[:, n:], 0.0)
     return (hi_v - lo_v, np.zeros(pair_gauss.shape, dtype=jax.dtypes.float0))
 
 
