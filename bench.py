@@ -152,6 +152,26 @@ def main():
     useful_flops = avg_pairs * ts * ts * 60 * 2 * 3
     mfu = useful_flops * iters_per_s / 197e12 if on_tpu else 0.0
 
+    # device-count scaling (BASELINE.md: pixels/s at 1 chip / 1 host / >=2
+    # hosts). This container exposes ONE real TPU chip; n>1 points come from
+    # the sharded train step on a virtual CPU mesh run in a subprocess (a
+    # correctness/compile smoke + relative-scaling signal, not TPU perf).
+    scaling = {"n1_chip_train_pixels_per_s": round(train_pixels_per_s)}
+    try:
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, __file__, "--cpu-mesh-smoke"],
+            capture_output=True, text=True, timeout=1200,
+        )
+        scaling["cpu_mesh_smoke"] = (
+            json.loads(r.stdout.strip().splitlines()[-1])
+            if r.returncode == 0
+            else {"ok": False, "rc": r.returncode}
+        )
+    except Exception as e:  # the headline metric must survive a smoke failure
+        scaling["cpu_mesh_smoke"] = {"ok": False, "error": str(e)[:200]}
+
     print(
         json.dumps(
             {
@@ -164,10 +184,74 @@ def main():
                 "render_fwd_ms": round(render_s * 1000, 2),
                 "step_ms": round(sec_per_iter * 1000, 2),
                 "blend_mfu_estimate": round(mfu, 5),
+                "scaling": scaling,
             }
         )
     )
 
 
+def cpu_mesh_smoke():
+    """Sharded binocular train step on virtual CPU meshes (n=1 vs n=8):
+    prints one JSON line with per-n step times and a parity check. Run in a
+    subprocess: it must pin JAX to the CPU platform before first device use."""
+    import os
+
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from binocular3dgs_tpu.config import Config
+    from binocular3dgs_tpu.parallel.sharding import make_mesh, make_sharded_train_step
+    from binocular3dgs_tpu.train.state import init_train_state
+
+    n, width, height = 2_000, 128, 128
+    model, cam, gt = make_workload(n, width, height)
+    cfg = Config()
+    cfg.raster.backend = "xla"
+    cfg.raster.pairs_per_gaussian = 8
+    cfg.raster.max_pairs_per_tile = 256
+    cfg.raster.chunk = 16
+    state0 = init_train_state(model)
+    aw = jnp.zeros((height, width), jnp.float32)
+    bg = jnp.zeros(3)
+
+    result = {"ok": True, "pixels": width * height}
+    losses = {}
+    for ndev in (1, 8):
+        mesh = make_mesh(ndev)
+        step = make_sharded_train_step(
+            cfg, mesh, width, height, spatial_lr_scale=1.0, binocular=True
+        )
+
+        @jax.jit
+        def run_steps(state, k, step=step):
+            def body(i, carry):
+                st, key = carry
+                key, sub = jax.random.split(key)
+                st, m = step(st, cam, gt, aw, jnp.int32(2) + i, sub, bg)
+                return (st, key)
+
+            st, _ = jax.lax.fori_loop(0, k, body, (state, jax.random.PRNGKey(0)))
+            _, m = step(st, cam, gt, aw, jnp.int32(99), jax.random.PRNGKey(1), bg)
+            return m.loss
+
+        losses[ndev] = float(run_steps(state0, 3))
+        t0 = time.perf_counter(); float(run_steps(state0, 1)); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(run_steps(state0, 6)); t6 = time.perf_counter() - t0
+        result[f"n{ndev}_step_ms"] = round((t6 - t1) / 5 * 1000, 1)
+    # same data, same seeds -> the sharded result must match 1-device
+    result["loss_parity"] = abs(losses[1] - losses[8]) < 1e-4
+    result["ok"] = bool(result["loss_parity"])
+    print(json.dumps(result))
+
+
 if __name__ == "__main__":
-    main()
+    if "--cpu-mesh-smoke" in sys.argv:
+        cpu_mesh_smoke()
+    else:
+        main()

@@ -88,6 +88,10 @@ class RasterConfig:
     # Static capacity of the (tile, gaussian) pair list as a multiple of the
     # Gaussian capacity. Overflowing pairs are dropped (reported via num_pairs).
     pairs_per_gaussian: int = 12
+    # Upper bound for Trainer's self-healing pair-capacity growth (doubling
+    # pairs_per_gaussian and re-jitting when RenderOutput.num_pairs nears
+    # capacity — mirrors the gaussian-capacity growth).
+    max_pairs_per_gaussian: int = 96
     # Per-band override used by the sharded renderer: each device bins only
     # its tile-row band, so its pair capacity (and sort size) can shrink with
     # the device count. None = auto: max(4, ceil(pairs_per_gaussian * 3 / ndev)).

@@ -81,30 +81,32 @@ _blend.defvjp(_blend_fwd, _blend_bwd)
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def _blend_records_pallas(records, tile_start, tile_count, TW, TH, ts, chunk, interpret, group):
+    """Returns the raw merged (T, 5, S) kernel output block (rows r g b depth
+    T_final); callers slice/transpose it with plain XLA ops so the custom VJP
+    sees one (T, 5, S) cotangent, matching blend_backward_pallas's d_out5."""
     from .blend_pallas import blend_forward_pallas
 
-    rgb, dep, tfin, _ = blend_forward_pallas(
+    out5, _ = blend_forward_pallas(
         records, tile_start, tile_count, TW, TH, ts, chunk, interpret, group
     )
-    return rgb, dep, tfin
+    return out5
 
 
 def _blend_records_pallas_fwd(records, tile_start, tile_count, TW, TH, ts, chunk, interpret, group):
     from .blend_pallas import blend_forward_pallas
 
-    rgb, dep, tfin, nc = blend_forward_pallas(
+    out5, nc = blend_forward_pallas(
         records, tile_start, tile_count, TW, TH, ts, chunk, interpret, group
     )
-    return (rgb, dep, tfin), (records, tile_start, tile_count, tfin, nc)
+    return out5, (records, tile_start, tile_count, out5, nc)
 
 
-def _blend_records_pallas_bwd(TW, TH, ts, chunk, interpret, group, res, cots):
+def _blend_records_pallas_bwd(TW, TH, ts, chunk, interpret, group, res, d_out5):
     from .blend_pallas import blend_backward_pallas
 
-    records, tile_start, tile_count, tfin, nc = res
-    d_rgb, d_dep, d_tfin = cots
+    records, tile_start, tile_count, out5, nc = res
     d_records = blend_backward_pallas(
-        records, tile_start, tile_count, tfin, nc, d_rgb, d_dep, d_tfin,
+        records, tile_start, tile_count, out5, nc, d_out5,
         TW, TH, ts, chunk, interpret, group,
     )
     f0 = jax.dtypes.float0
@@ -285,10 +287,13 @@ def render_tiled(
         # pair gather (custom VJP; pads the pair axis so a partial final DMA
         # chunk never reads OOB)
         records = _gather_records(fields_d, binning.pair_gauss, chunk, N)
-        rgb_t, dep_t, T_final_t = _blend_records_pallas(
+        out5 = _blend_records_pallas(
             records, binning.tile_start, binning.tile_count, TW, rows, ts, chunk,
             interpret, raster.pallas_tile_group,
         )
+        rgb_t = jnp.transpose(out5[:, 0:3, :], (0, 2, 1))  # (T, S, 3)
+        dep_t = out5[:, 3, :]
+        T_final_t = out5[:, 4, :]
     else:
         pair_gauss = binning.order[binning.pair_gauss]  # back to caller index space
         inputs = BlendInputs(
@@ -311,5 +316,12 @@ def render_tiled(
     image = rgb + T_final[..., None] * bg[None, None, :]
     alpha = 1.0 - T_final
     return RenderOutput(
-        image=image, depth=dep, alpha=alpha, radii=proj.radius, visible=proj.radius > 0
+        image=image,
+        depth=dep,
+        alpha=alpha,
+        radii=proj.radius,
+        visible=proj.radius > 0,
+        num_pairs=jax.lax.stop_gradient(binning.num_pairs),
+        max_tile_pairs=jax.lax.stop_gradient(jnp.max(binning.tile_count)),
+        pair_capacity=jnp.asarray(pair_capacity, jnp.int32),
     )

@@ -39,6 +39,15 @@ class RenderOutput:
     alpha: jnp.ndarray  # (H, W)
     radii: jnp.ndarray  # (N,) float; 0 => culled
     visible: jnp.ndarray  # (N,) bool (radii > 0)
+    # Pair-list pressure (tiled rasterizer only; None from the dense oracle):
+    # total wanted (tile, gaussian) pairs BEFORE capacity truncation, and the
+    # largest single tile's wanted pair count. When num_pairs exceeds
+    # pairs_per_gaussian * capacity (or max_tile_pairs exceeds
+    # max_pairs_per_tile on the XLA backend) the deepest splats silently
+    # vanish — Trainer watches these and grows the capacity (re-jit).
+    num_pairs: jnp.ndarray | None = None  # () int32
+    max_tile_pairs: jnp.ndarray | None = None  # () int32
+    pair_capacity: jnp.ndarray | None = None  # () int32 static capacity baked in
 
 
 def blend_dense(

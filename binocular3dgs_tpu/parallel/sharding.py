@@ -82,7 +82,12 @@ def make_sharded_render(
         depth = jax.lax.all_gather(out.depth, axis, axis=0, tiled=True)[:height]
         alpha = jax.lax.all_gather(out.alpha, axis, axis=0, tiled=True)[:height]
         return RenderOutput(
-            image=image, depth=depth, alpha=alpha, radii=out.radii, visible=out.visible
+            image=image, depth=depth, alpha=alpha, radii=out.radii, visible=out.visible,
+            # band-local pair pressure: report the worst band vs the BAND
+            # capacity (each device's static pair list is band-sized)
+            num_pairs=jax.lax.pmax(out.num_pairs, axis),
+            max_tile_pairs=jax.lax.pmax(out.max_tile_pairs, axis),
+            pair_capacity=out.pair_capacity,
         )
 
     sharded = jax.shard_map(

@@ -81,10 +81,14 @@ class Trainer:
         self.cfg = cfg
         self.scene = scene
         if render_fn is None:
-            try:
-                from ..ops.rasterize import render_tiled as render_fn
-            except ImportError:  # production rasterizer not built yet
-                from ..ops.rasterize_reference import render_dense as render_fn
+            from ..ops.rasterize import render_tiled
+
+            # thread cfg.raster so CLI flags (--backend, --max_pairs_per_tile,
+            # --pairs_per_gaussian, --raster_chunk) actually reach the kernel
+            def render_fn(camera, model, bg, **kwargs):
+                kwargs.setdefault("raster", cfg.raster)
+                return render_tiled(camera, model, bg, **kwargs)
+
         self.render_fn = render_fn
 
         if model is None:
@@ -139,12 +143,20 @@ class Trainer:
             @jax.jit
             def fused(state, cams, gts, aws, start_iter, key, bg):
                 def body(i, carry):
-                    st, k, _ = carry
+                    st, k, prev = carry
                     k, k_view, k_step = jax.random.split(k, 3)
                     vidx = jax.random.randint(k_view, (), 0, n_views)
                     camera = jax.tree.map(lambda x: x[vidx], cams)
                     st, metrics = step_fn(
                         st, camera, gts[vidx], aws[vidx], start_iter + i, k_step, bg
+                    )
+                    # pair pressure: worst case over the whole fused span, so
+                    # an overflow inside the chunk is visible to the host
+                    metrics = metrics._replace(
+                        num_pairs=jnp.maximum(metrics.num_pairs, prev.num_pairs),
+                        max_tile_pairs=jnp.maximum(
+                            metrics.max_tile_pairs, prev.max_tile_pairs
+                        ),
                     )
                     return (st, k, metrics)
 
@@ -154,6 +166,9 @@ class Trainer:
                     loss=jnp.zeros(()), l1=jnp.zeros(()),
                     disparity_loss=jnp.zeros(()), alpha_loss=jnp.zeros(()),
                     n_visible=jnp.zeros((), jnp.int32),
+                    num_pairs=jnp.zeros((), jnp.int32),
+                    max_tile_pairs=jnp.zeros((), jnp.int32),
+                    pair_capacity=jnp.zeros((), jnp.int32),
                 )
                 st, _, metrics = jax.lax.fori_loop(
                     0, n_steps, body, (state, key, zero_m)
@@ -231,6 +246,7 @@ class Trainer:
                     self.bg,
                 )
             last_it = iteration + n - 1
+            self._maybe_grow_pair_capacity(metrics, last_it)
 
             densify_until = (
                 iterations if cfg.train.opacity_decay else opt.densify_until_iter
@@ -276,6 +292,46 @@ class Trainer:
             iteration = last_it + 1
 
         return self.state
+
+    def _maybe_grow_pair_capacity(self, metrics, iteration: int):
+        """Self-healing pair-list growth: when densification pushes the wanted
+        (tile, gaussian) pair count near the static capacity, the deepest
+        splats silently vanish from renders AND gradients — so double
+        pairs_per_gaussian (and max_pairs_per_tile when a single tile
+        saturates) and drop the jit cache to re-trace at the new capacity.
+        Mirrors the gaussian-capacity growth below."""
+        wanted = int(getattr(metrics, "num_pairs", 0))
+        cap = int(getattr(metrics, "pair_capacity", 0))
+        if wanted == 0 or cap == 0:  # render_fn does not report pressure
+            return
+        raster = self.cfg.raster
+        trigger = self.cfg.capacity.growth_trigger
+        grew = False
+        if (
+            wanted > cap * trigger
+            and raster.pairs_per_gaussian < raster.max_pairs_per_gaussian
+        ):
+            raster.pairs_per_gaussian = min(
+                raster.pairs_per_gaussian * 2, raster.max_pairs_per_gaussian
+            )
+            grew = True
+        # max_pairs_per_tile only truncates on the XLA backend (the pallas
+        # kernels walk full segments); growing it there would re-jit forever
+        backend = raster.backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        max_tile = int(getattr(metrics, "max_tile_pairs", 0))
+        if backend == "xla" and max_tile > raster.max_pairs_per_tile * trigger:
+            raster.max_pairs_per_tile = raster.max_pairs_per_tile * 2
+            grew = True
+        if grew:
+            print(
+                f"[ITER {iteration}] pair capacity grown: "
+                f"pairs_per_gaussian={raster.pairs_per_gaussian} "
+                f"max_pairs_per_tile={raster.max_pairs_per_tile} "
+                f"(wanted {wanted} pairs, max tile {max_tile})"
+            )
+            self._step_cache.clear()
 
     def _densify(self, iteration: int):
         cfg = self.cfg

@@ -43,6 +43,12 @@ class StepMetrics(NamedTuple):
     disparity_loss: jnp.ndarray
     alpha_loss: jnp.ndarray
     n_visible: jnp.ndarray
+    # wanted (pre-truncation) pair-list sizes, max over the step's renders,
+    # plus the static capacity the render was traced with; 0 when the
+    # render_fn does not report them (dense oracle)
+    num_pairs: jnp.ndarray
+    max_tile_pairs: jnp.ndarray
+    pair_capacity: jnp.ndarray
 
 
 def compute_losses(
@@ -60,6 +66,20 @@ def compute_losses(
 ):
     out = render_fn(camera, model, bg, mean2d_carrier=carrier)
 
+    def _pressure(o, prev=None):
+        zero = jnp.zeros((), jnp.int32)
+        np_ = getattr(o, "num_pairs", None)
+        mtp = getattr(o, "max_tile_pairs", None)
+        cap = getattr(o, "pair_capacity", None)
+        np_ = zero if np_ is None else np_
+        mtp = zero if mtp is None else mtp
+        cap = zero if cap is None else cap
+        if prev is not None:
+            np_, mtp = jnp.maximum(np_, prev[0]), jnp.maximum(mtp, prev[1])
+        return np_, mtp, cap
+
+    pair_pressure = _pressure(out)
+
     Ll1 = l1_loss(out.image, gt_image)
     loss = (1.0 - lambda_dssim) * Ll1 + lambda_dssim * (1.0 - ssim(out.image, gt_image))
 
@@ -71,6 +91,7 @@ def compute_losses(
         trans = d * sign
         shifted_cam = shift_camera(camera, trans)
         out_s = render_fn(shifted_cam, model, bg, mean2d_carrier=None)
+        pair_pressure = _pressure(out_s, pair_pressure)
         disparity = camera.focal_x * (-trans) / (out.depth + 1e-5)
         warped = inverse_warp_image(out_s.image, disparity)
         mask = warp_mask(disparity, camera.height, camera.width)
@@ -89,6 +110,9 @@ def compute_losses(
         "disparity_loss": disparity_loss,
         "alpha_loss": alpha_l,
         "radii": out.radii,
+        "num_pairs": jax.lax.stop_gradient(pair_pressure[0]),
+        "max_tile_pairs": jax.lax.stop_gradient(pair_pressure[1]),
+        "pair_capacity": jax.lax.stop_gradient(pair_pressure[2]),
     }
     return total, aux
 
@@ -192,6 +216,9 @@ def make_train_step(
             disparity_loss=aux["disparity_loss"],
             alpha_loss=aux["alpha_loss"],
             n_visible=jnp.sum(visible.astype(jnp.int32)),
+            num_pairs=aux["num_pairs"],
+            max_tile_pairs=aux["max_tile_pairs"],
+            pair_capacity=aux["pair_capacity"],
         )
         return new_state, metrics
 

@@ -148,29 +148,27 @@ def main():
     # --- stage 4: blend forward pallas ---
     def mk_blend_fwd():
         def body(acc):
-            rgb, dep, tfin, nc = blend_forward_pallas(
+            out5, nc = blend_forward_pallas(
                 records + acc * 1e-12, binning.tile_start, binning.tile_count,
                 TW=TW, TH=TH, ts=ts, chunk=chunk,
             )
-            return jnp.sum(rgb) * 1e-12
+            return jnp.sum(out5[:, 0]) * 1e-12
         return body, jnp.float32(0.0)
 
     chain_time(mk_blend_fwd, it, "blend fwd pallas")
 
-    rgb_t, dep_t, tfin_t, nc_t = blend_forward_pallas(
+    out5_t, nc_t = blend_forward_pallas(
         records, binning.tile_start, binning.tile_count, TW=TW, TH=TH, ts=ts, chunk=chunk
     )
 
     # --- stage 5: blend backward pallas ---
-    d_rgb = jnp.ones_like(rgb_t)
-    d_dep = jnp.ones_like(dep_t)
-    d_tf = jnp.ones_like(tfin_t)
+    d_out5 = jnp.ones_like(out5_t)
 
     def mk_blend_bwd():
         def body(acc):
             d_records = blend_backward_pallas(
                 records + acc * 1e-12, binning.tile_start, binning.tile_count,
-                tfin_t, nc_t, d_rgb, d_dep, d_tf, TW=TW, TH=TH, ts=ts, chunk=chunk,
+                out5_t, nc_t, d_out5, TW=TW, TH=TH, ts=ts, chunk=chunk,
             )
             return jnp.sum(d_records[5]) * 1e-12
         return body, jnp.float32(0.0)

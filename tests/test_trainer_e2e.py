@@ -187,11 +187,76 @@ class TestBlenderE2E:
         assert np.isfinite(report["test"]["psnr"])
 
 
-class TestFusedSpans:
-    def _trainer(self, **train_kw):
-        from test_trainer_e2e import make_scene  # self-module helper if present
-        raise NotImplementedError
+class TestRasterConfigThreading:
+    def test_default_render_fn_uses_cfg_raster(self, monkeypatch):
+        """Trainer's default render_fn must thread cfg.raster: a Trainer
+        built with backend="xla" never enters the Pallas path (regression:
+        round 2 dropped cfg.raster, so --backend/--pairs_per_gaussian/... CLI
+        flags were silently ignored and CI crashed in the Pallas path)."""
+        from binocular3dgs_tpu.ops import blend_pallas
 
+        def boom(*a, **k):
+            raise AssertionError("pallas blend entered despite backend='xla'")
+
+        monkeypatch.setattr(blend_pallas, "blend_forward_pallas", boom)
+
+        scene = build_synthetic_scene(n_views=2, n_pts=40)
+        cfg = Config()
+        cfg.raster.backend = "xla"
+        cfg.raster.max_pairs_per_tile = 256
+        cfg.raster.chunk = 16
+        cfg.raster.pairs_per_gaussian = 16
+        cfg.train.binocular_consistency = False
+        cfg.train.test_iterations = ()
+        cfg.train.save_iterations = ()
+        trainer = Trainer(cfg, scene)  # default render_fn — the broken path
+        trainer.train(2)
+        assert np.isfinite(np.asarray(trainer.state.model.params.xyz)).all()
+
+
+class TestPairCapacityGrowth:
+    def test_overflow_triggers_growth(self):
+        """When the wanted pair count exceeds the static pair capacity, the
+        Trainer must grow pairs_per_gaussian and re-jit instead of silently
+        rendering (and backpropagating) without the deepest splats."""
+        scene = build_synthetic_scene(n_views=2, n_pts=60)
+        cfg = Config()
+        cfg.raster.backend = "xla"
+        cfg.raster.pairs_per_gaussian = 1  # force overflow immediately
+        cfg.raster.max_pairs_per_tile = 64
+        cfg.raster.chunk = 16
+        cfg.train.binocular_consistency = False
+        cfg.train.test_iterations = ()
+        cfg.train.save_iterations = ()
+        trainer = Trainer(cfg, scene)
+        assert cfg.raster.pairs_per_gaussian == 1
+        trainer.train(3)
+        assert cfg.raster.pairs_per_gaussian > 1, "pair capacity never grew"
+        # renders report the pressure fields
+        out = trainer.render_view(scene.test_views[0])
+        assert int(out.pair_capacity) == (
+            cfg.raster.pairs_per_gaussian * trainer.state.model.capacity
+        )
+        assert int(out.num_pairs) > 0
+
+    def test_growth_is_bounded_and_capacity_respected(self):
+        """Growth stops at max_pairs_per_gaussian (no unbounded re-jit loop)."""
+        scene = build_synthetic_scene(n_views=2, n_pts=60)
+        cfg = Config()
+        cfg.raster.backend = "xla"
+        cfg.raster.pairs_per_gaussian = 1
+        cfg.raster.max_pairs_per_gaussian = 2
+        cfg.raster.max_pairs_per_tile = 64
+        cfg.raster.chunk = 16
+        cfg.train.binocular_consistency = False
+        cfg.train.test_iterations = ()
+        cfg.train.save_iterations = ()
+        trainer = Trainer(cfg, scene)
+        trainer.train(4)
+        assert cfg.raster.pairs_per_gaussian == 2
+
+
+class TestFusedSpans:
     def test_span_boundaries(self):
         """Fused chunks must end exactly at densify/report/save triggers and
         start fresh at SH bumps and the binocular flip."""
