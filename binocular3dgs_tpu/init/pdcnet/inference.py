@@ -45,6 +45,10 @@ DEFAULT_INFERENCE_PARAMETERS = {
     "mask_type": "proba_interval_1_above_10",
     "homography_visibility_mask": True,
     "compute_cyclic_consistency_error": True,
+    # multiscale ('ms') knobs, reference base_pdcnet.py:45-53
+    "list_resizing_ratios": [0.5, 0.6, 0.88, 1, 1.33, 1.66, 2],
+    "min_inlier_threshold_for_multi_scale": 0.2,
+    "min_nbr_points_for_multi_scale": 70,
 }
 
 
@@ -112,6 +116,33 @@ def from_homography_to_pixel_wise_mapping(shape, H):
     mx = (warped[0] / (warped[2] + 1e-8)).reshape(h, w)
     my = (warped[1] / (warped[2] + 1e-8)).reshape(h, w)
     return np.stack([mx, my], axis=-1).astype(np.float32)
+
+
+def estimate_homography_and_inliers(flow, mask, scaling=1.0, min_nbr_points=0,
+                                    ransac_thresh=1.0):
+    """reference inference_utils.py:294-325: RANSAC homography from confident
+    matches, returning (H, inlier count) — (None, 0) if rejected."""
+    import cv2
+
+    mkpts_src, mkpts_tgt = matches_from_flow(flow, mask, scaling=scaling)
+    if len(mkpts_tgt) <= min_nbr_points:
+        return None, 0
+    try:
+        H, inliers = cv2.findHomography(
+            mkpts_src, mkpts_tgt, cv2.RANSAC, ransac_thresh, maxIters=3000
+        )
+    except cv2.error:
+        return None, 0
+    if H is None or not homography_is_accepted(H):
+        return None, 0
+    return H, int(inliers.sum())
+
+
+def pad_to_size(im: np.ndarray, size) -> np.ndarray:
+    """Bottom/right zero-pad to (h, w) (reference base_pdcnet.py:19-34)."""
+    pad_y = max(size[0] - im.shape[0], 0)
+    pad_x = max(size[1] - im.shape[1], 0)
+    return np.pad(im, ((0, pad_y), (0, pad_x), (0, 0)), mode="constant")
 
 
 def estimate_homography_and_correspondence_map(flow, mask, original_shape,
@@ -265,6 +296,124 @@ class PDCNetPlus:
                             flow_first)
         return flow_out.astype(np.float32), uncertainty
 
+    # -- multiscale homography alignment (reference base_pdcnet.py:311-516) --
+    def _homo_through_multiscale(self, source, target, inter_scaling, output_shape):
+        """reference estimate_homo_through_multiscale (base_pdcnet.py:394-516):
+        try several target/source resizing ratios, estimate a RANSAC homography
+        from each candidate's confident quarter-res matches, and keep the one
+        with the highest normalized inlier fraction. Returns (H at image
+        scale, dense mapping (1, out_h, out_w, 2) or None, original-ratio
+        first-pass flow). The reference batches all candidates through one
+        network pass; per-candidate passes are numerically identical (the
+        network has no cross-batch ops in eval mode)."""
+        import cv2
+
+        p = self.inference_parameters
+        ratio_list = list(p["list_resizing_ratios"])
+        src = np.asarray(source, np.float32)
+        tgt = np.asarray(target, np.float32)
+        h_t, w_t = tgt.shape[:2]
+        h_s, w_s = src.shape[:2]
+        inter_shape = (int(h_t * inter_scaling), int(w_t * inter_scaling))
+        # first dim horizontal then vertical (reference base_pdcnet.py:412)
+        scaling = np.float32([w_t, h_t]) / np.float32([inter_shape[1], inter_shape[0]])
+        if 1.0 not in ratio_list:
+            ratio_list.append(1.0)
+        idx_orig = ratio_list.index(1.0)
+        norm_orig = float(h_t * w_t / scaling[0] * scaling[1])
+
+        candidates = []  # (H_target, H_source, normalization, source, target)
+        for ratio in ratio_list:
+            if ratio == 1.0:
+                candidates.append((np.eye(3), np.eye(3), norm_orig, src, tgt))
+            elif ratio < 1.0:
+                hr, wr = int(h_t * ratio), int(w_t * ratio)
+                Ht = np.diag([wr / float(w_t), hr / float(h_t), 1.0])
+                tgt_r = pad_to_size(cv2.warpPerspective(tgt, Ht, (wr, hr)), (h_t, w_t))
+                candidates.append(
+                    (Ht, np.eye(3), float(wr * hr / scaling[0] * scaling[1]), src, tgt_r)
+                )
+            else:
+                r = 1.0 / ratio
+                hr, wr = int(h_s * r), int(w_s * r)
+                Hs = np.diag([wr / float(w_s), hr / float(h_s), 1.0])
+                src_r = pad_to_size(cv2.warpPerspective(src, Hs, (wr, hr)), (h_t, w_t))
+                candidates.append((np.eye(3), Hs, norm_orig, src_r, tgt))
+
+        flow_first = None
+        hs, inlier_fracs = [], []
+        for i, (Ht, Hs, normv, s_i, t_i) in enumerate(candidates):
+            flow_i, unc_i = self._direct(s_i, t_i, inter_shape)
+            if i == idx_orig:
+                flow_first = flow_i
+            mask_i = estimate_mask(p["mask_type"], unc_i, R=p["R"])
+            H, inliers = estimate_homography_and_inliers(
+                flow_i, mask_i, scaling=scaling,
+                min_nbr_points=p["min_nbr_points_for_multi_scale"],
+            )
+            if H is not None:
+                hs.append(np.linalg.inv(Ht) @ H @ Hs)
+                inlier_fracs.append(float(inliers) / normv)
+            else:
+                hs.append(np.eye(3))
+                inlier_fracs.append(0.0)
+
+        best = int(np.argmax(inlier_fracs))
+        H_final = None
+        if inlier_fracs[best] * 100.0 > p["min_inlier_threshold_for_multi_scale"]:
+            H_final = hs[best]
+        if H_final is None or np.all(H_final == np.eye(3)):
+            return None, None, flow_first
+
+        mapping = from_homography_to_pixel_wise_mapping((h_t, w_t), np.linalg.inv(H_final))
+        oh, ow = output_shape
+        if (oh, ow) != (h_t, w_t):
+            m = resize_bilinear(jnp.asarray(mapping)[None], (oh, ow), align_corners=False)
+            # absolute pixel coords rescale with the resize (reference :510-513)
+            m = m * jnp.asarray([ow / float(w_t), oh / float(h_t)], jnp.float32)
+            mapping = np.asarray(m)[0]
+        return H_final, mapping[None], flow_first
+
+    def _with_multiscale(self, source, target, output_shape, inter_scaling=0.25):
+        """reference estimate_flow_and_confidence_map_with_multiscale
+        (base_pdcnet.py:311-392): align the source by the best multiscale
+        homography, run a second direct pass, compose, and fall back to the
+        first-pass flow outside the visibility masks."""
+        import cv2
+
+        h, w = target.shape[:2]
+        if output_shape is None:
+            output_shape = (h, w)
+        H_img, mapping_h, flow_first = self._homo_through_multiscale(
+            source, target, inter_scaling, output_shape
+        )
+        if mapping_h is None:
+            return self._direct(source, target, output_shape)
+
+        flow_first = self._resize_and_rescale_flow(flow_first, output_shape)
+        src_np = np.asarray(source, np.float32)
+        src_warped = cv2.warpPerspective(src_np, H_img, (w, h))
+        flow_second, uncertainty = self._direct(src_warped, target, output_shape)
+
+        mapping_final = warp(jnp.asarray(mapping_h), jnp.asarray(flow_second))
+        flow_composed = np.asarray(convert_mapping_to_flow(mapping_final))
+
+        ones = jnp.ones((1,) + tuple(output_shape) + (1,), jnp.float32)
+        mask = np.asarray(warp(ones, jnp.asarray(flow_second)))[..., 0] >= 0.98
+        warping_mask = np.asarray(
+            _sample_by_mapping(ones, jnp.asarray(mapping_h))
+        )[..., 0] >= 0.98
+        if self.inference_parameters["homography_visibility_mask"]:
+            mask = mask & warping_mask
+        uncertainty["warping_mask"] = mask
+
+        keep = mask & warping_mask
+        flow_out = (
+            flow_composed * mask[..., None] * warping_mask[..., None]
+            + flow_first * (~keep)[..., None]
+        )
+        return flow_out.astype(np.float32), uncertainty
+
     @staticmethod
     def _resize_and_rescale_flow(flow, output_shape):
         """reference base_matching_net.py:181-192."""
@@ -285,6 +434,8 @@ class PDCNetPlus:
             return self._direct(source, target, output_shape)
         if mode in ("homography_from_quarter_resolution_uncertainty", "h"):
             return self._with_homo(source, target, output_shape, scaling=0.25)
+        if mode in ("multiscale_homo_from_quarter_resolution_uncertainty", "ms"):
+            return self._with_multiscale(source, target, output_shape, inter_scaling=0.25)
         raise NotImplementedError(f"multi_stage_type {mode}")
 
     def estimate_flow_and_confidence_map(self, source, target, output_shape=None, scaling=1.0):

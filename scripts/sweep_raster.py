@@ -30,12 +30,14 @@ def main():
     model, cam, gt = make_workload(100_000, 1008, 756)
     print(f"backend={jax.default_backend()}")
 
-    for ts in (16, 32):
-        for chunk in (128, 256, 512):
+    import itertools
+
+    for ts, chunk, group in itertools.product((16,), (128, 256, 512), (8, 16, 32)):
             cfg = Config()
             cfg.raster.pairs_per_gaussian = 8
             cfg.raster.tile_size = ts
             cfg.raster.pallas_chunk = chunk
+            cfg.raster.pallas_tile_group = group
 
             def mk_fwd():
                 def body(acc):
@@ -61,7 +63,10 @@ def main():
 
             f = chain_time(mk_fwd)
             g = chain_time(mk_grad)
-            print(f"ts={ts:3d} chunk={chunk:4d}: fwd {f:7.2f} ms  fwd+bwd {g:7.2f} ms")
+            print(
+                f"ts={ts:3d} chunk={chunk:4d} group={group:3d}: "
+                f"fwd {f:7.2f} ms  fwd+bwd {g:7.2f} ms", flush=True,
+            )
 
 
 if __name__ == "__main__":

@@ -419,3 +419,65 @@ def test_homography_h_path_matches_reference(ref_net):
         )
     finally:
         ref_base.estimate_homography_and_correspondence_map = orig
+
+
+@pytest.mark.slow
+def test_multiscale_ms_path_matches_reference(ref_net):
+    """The multiscale 'ms' inference path (reference base_pdcnet.py:311-516):
+    each resizing ratio's quarter-res flow votes a RANSAC homography, the
+    best normalized-inlier candidate warps the source, a second direct pass
+    refines, and the flow composes through the homography mapping with
+    visibility masks. Same homography-warped checkerboard as the 'h' test so
+    RANSAC sees clean inliers on both sides; cv2's global RNG is seeded
+    identically before each side, and the candidate loop consumes it in the
+    same order (our per-candidate forward passes are numerically identical
+    to the reference's batched pass — the network has no cross-batch ops in
+    eval)."""
+    import cv2
+
+    from binocular3dgs_tpu.init.pdcnet.inference import PDCNetPlus
+    from tests.pdcnet_ref import jax_params_from
+
+    net, _ = ref_net
+    net.set_inference_parameters(
+        confidence_R=1.0, ransac_thresh=1.0,
+        multi_stage_type="multiscale_homo_from_quarter_resolution_uncertainty",
+        mask_type_for_2_stage_alignment="proba_interval_1_above_10",
+        compute_cyclic_consistency_error=False,
+    )
+    net.device = torch.device("cpu")
+
+    rng = np.random.default_rng(3)
+    h, w = 96, 128
+    base = (rng.random((h, w, 3)) * 80).astype(np.float32)
+    yy, xx = np.mgrid[0:h, 0:w]
+    checker = (((yy // 8) + (xx // 8)) % 2).astype(np.float32)
+    tgt = np.clip(base + checker[..., None] * 120, 0, 255).astype(np.uint8)
+    H_true = np.array([[1.02, 0.03, 2.0], [-0.02, 0.98, -1.5], [1e-4, -5e-5, 1.0]])
+    src = cv2.warpPerspective(tgt, H_true, (w, h)).astype(np.uint8)
+    src_t = torch.from_numpy(src).permute(2, 0, 1).unsqueeze(0).float()
+    tgt_t = torch.from_numpy(tgt).permute(2, 0, 1).unsqueeze(0).float()
+
+    cv2.setRNGSeed(7)
+    with torch.no_grad():
+        flow_ref, unc_ref = net.estimate_flow_and_confidence_map(
+            src_t, tgt_t, scaling=0.25
+        )
+    flow_ref = flow_ref.permute(0, 2, 3, 1).numpy()
+    assert "warping_mask" in unc_ref  # the reference took the homography branch
+
+    jnet = PDCNetPlus(
+        jax_params_from(net),
+        {"multi_stage_type": "ms", "compute_cyclic_consistency_error": False},
+    )
+    cv2.setRNGSeed(7)
+    flow, unc = jnet.estimate_flow_and_confidence_map(src, tgt, scaling=0.25)
+    assert "warping_mask" in unc  # ours did too
+
+    np.testing.assert_allclose(flow, flow_ref, atol=5e-3)
+    wm_ref = unc_ref["warping_mask"].numpy().squeeze()
+    wm = np.asarray(unc["warping_mask"]).squeeze()
+    np.testing.assert_array_equal(wm, wm_ref)
+    np.testing.assert_allclose(
+        unc["p_r"][0, ..., 0], unc_ref["p_r"].squeeze().numpy(), atol=5e-4
+    )
