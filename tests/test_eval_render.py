@@ -146,6 +146,108 @@ class TestLpips:
                            jnp.asarray(b[0].transpose(1, 2, 0))))
             np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
 
+    @pytest.mark.parametrize("net_type", ["alex", "squeeze"])
+    def test_matches_torch_reference_lpips_alex_squeeze(self, net_type):
+        """Torch oracle for the alex/squeeze backbones, same method as the
+        vgg test: manually-built torchvision-layout features (torchvision is
+        not installed here) + the reference lpipsPyTorch math
+        (networks.py:61-78, lpips.py:8-36), with the SAME random weights fed
+        through convert_backbone_weights."""
+        import torch
+        import torch.nn as nn
+
+        from binocular3dgs_tpu.eval.lpips import (
+            N_CHANNELS,
+            convert_backbone_weights,
+        )
+
+        torch.manual_seed(0)
+
+        class Fire(nn.Module):
+            # torchvision.models.squeezenet.Fire (attribute names are the
+            # state_dict contract the converter parses)
+            def __init__(self, inp, sq, e1, e3):
+                super().__init__()
+                self.squeeze = nn.Conv2d(inp, sq, 1)
+                self.expand1x1 = nn.Conv2d(sq, e1, 1)
+                self.expand3x3 = nn.Conv2d(sq, e3, 3, padding=1)
+                self.act = nn.ReLU()
+
+            def forward(self, x):
+                s = self.act(self.squeeze(x))
+                return torch.cat(
+                    [self.act(self.expand1x1(s)), self.act(self.expand3x3(s))], 1
+                )
+
+        if net_type == "alex":
+            features = nn.Sequential(
+                nn.Conv2d(3, 64, 11, stride=4, padding=2), nn.ReLU(),
+                nn.MaxPool2d(3, 2),
+                nn.Conv2d(64, 192, 5, padding=2), nn.ReLU(),
+                nn.MaxPool2d(3, 2),
+                nn.Conv2d(192, 384, 3, padding=1), nn.ReLU(),
+                nn.Conv2d(384, 256, 3, padding=1), nn.ReLU(),
+                nn.Conv2d(256, 256, 3, padding=1), nn.ReLU(),
+                nn.MaxPool2d(3, 2),
+            )
+            target_layers = [2, 5, 8, 10, 12]  # networks.py:76
+        else:
+            features = nn.Sequential(
+                nn.Conv2d(3, 64, 3, stride=2), nn.ReLU(),
+                nn.MaxPool2d(3, 2, ceil_mode=True),
+                Fire(64, 16, 64, 64), Fire(128, 16, 64, 64),
+                nn.MaxPool2d(3, 2, ceil_mode=True),
+                Fire(128, 32, 128, 128), Fire(256, 32, 128, 128),
+                nn.MaxPool2d(3, 2, ceil_mode=True),
+                Fire(256, 48, 192, 192), Fire(384, 48, 192, 192),
+                Fire(384, 64, 256, 256), Fire(512, 64, 256, 256),
+            )
+            target_layers = [2, 5, 8, 10, 11, 12, 13]  # networks.py:65
+        with torch.no_grad():
+            for m in features.modules():
+                if isinstance(m, nn.Conv2d):
+                    m.weight.mul_(0.2)
+
+        n_ch = N_CHANNELS[net_type]
+        lins = [nn.Conv2d(c, 1, 1, bias=False) for c in n_ch]
+        mean = torch.tensor([-0.030, -0.088, -0.188])[None, :, None, None]
+        std = torch.tensor([0.458, 0.448, 0.450])[None, :, None, None]
+
+        def torch_feats(x):
+            x = (x - mean) / std
+            out = []
+            for i, layer in enumerate(features, 1):
+                x = layer(x)
+                if i in target_layers:
+                    n = torch.sqrt(torch.sum(x**2, dim=1, keepdim=True))
+                    out.append(x / (n + 1e-10))
+                if len(out) == len(target_layers):
+                    break
+            return out
+
+        def torch_lpips(x, y):
+            fx, fy = torch_feats(x), torch_feats(y)
+            res = [
+                lin((p - q) ** 2).mean((2, 3), True)
+                for p, q, lin in zip(fx, fy, lins)
+            ]
+            return torch.sum(torch.cat(res, 0), 0, True)
+
+        rng = np.random.default_rng(2)
+        a = rng.random((1, 3, 64, 64)).astype(np.float32)
+        b = rng.random((1, 3, 64, 64)).astype(np.float32)
+        with torch.no_grad():
+            want = float(torch_lpips(torch.tensor(a), torch.tensor(b)).squeeze())
+
+        state = features.state_dict()
+        state = {f"features.{k}": v for k, v in state.items()}
+        lin_state = {f"lin{l}.model.1.weight": lins[l].weight for l in range(len(n_ch))}
+        w = convert_backbone_weights(net_type, state, lin_state)
+        lp = make_lpips(w)  # net_type comes from the converter tag
+        got = float(lp(jnp.asarray(a[0].transpose(1, 2, 0)),
+                       jnp.asarray(b[0].transpose(1, 2, 0))))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
 
 class TestSpiralPoses:
     def _ring_poses(self, n=12, r=4.0):
