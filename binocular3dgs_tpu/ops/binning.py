@@ -59,17 +59,22 @@ def tile_grid(width: int, height: int, tile_size: int) -> tuple[int, int]:
 def tile_rect(mean2d, radius, tile_size: int, TW: int, TH: int):
     """CUDA getRect: clamped [tmin, tmax) tile bbox per gaussian.
 
+    `radius` is (N,) for an isotropic radius or (N, 2) for per-axis extents
+    (the tight opacity-aware binning bound from ops/project.py).
     Returns (tmin_x, tmin_y, tmax_x, tmax_y), each (N,) int32.
     """
     px, py = mean2d[:, 0], mean2d[:, 1]
-    r = radius
-    tmin_x = jnp.clip(jnp.floor((px - r) / tile_size).astype(jnp.int32), 0, TW)
-    tmin_y = jnp.clip(jnp.floor((py - r) / tile_size).astype(jnp.int32), 0, TH)
+    if radius.ndim == 2:
+        rx, ry = radius[:, 0], radius[:, 1]
+    else:
+        rx = ry = radius
+    tmin_x = jnp.clip(jnp.floor((px - rx) / tile_size).astype(jnp.int32), 0, TW)
+    tmin_y = jnp.clip(jnp.floor((py - ry) / tile_size).astype(jnp.int32), 0, TH)
     tmax_x = jnp.clip(
-        jnp.floor((px + r + tile_size - 1) / tile_size).astype(jnp.int32), 0, TW
+        jnp.floor((px + rx + tile_size - 1) / tile_size).astype(jnp.int32), 0, TW
     )
     tmax_y = jnp.clip(
-        jnp.floor((py + r + tile_size - 1) / tile_size).astype(jnp.int32), 0, TH
+        jnp.floor((py + ry + tile_size - 1) / tile_size).astype(jnp.int32), 0, TH
     )
     return tmin_x, tmin_y, tmax_x, tmax_y
 
@@ -91,7 +96,7 @@ def _segment_fill(values: jnp.ndarray, offsets: jnp.ndarray, pair_capacity: int)
 
 def bin_gaussians(
     mean2d: jnp.ndarray,  # (N, 2) pixel coords
-    radius: jnp.ndarray,  # (N,) float; 0 => culled
+    radius: jnp.ndarray,  # (N,) isotropic or (N, 2) per-axis extents; 0 => culled
     depth: jnp.ndarray,  # (N,)
     width: int,
     height: int,
@@ -106,16 +111,18 @@ def bin_gaussians(
     TW, TH = tile_grid(width, height, tile_size)
     num_tiles = TW * TH
     n = mean2d.shape[0]
+    r_ok = jnp.min(radius, axis=1) > 0 if radius.ndim == 2 else radius > 0
 
     # depth-rank ordering: one N-sized argsort replaces per-pair depth keys
-    order = jnp.argsort(jnp.where(radius > 0, depth, jnp.inf)).astype(jnp.int32)
+    order = jnp.argsort(jnp.where(r_ok, depth, jnp.inf)).astype(jnp.int32)
     mean2d = mean2d[order]
     radius = radius[order]
+    r_ok = r_ok[order]
 
     tmin_x, tmin_y, tmax_x, tmax_y = tile_rect(mean2d, radius, tile_size, TW, TH)
     span_x = jnp.maximum(tmax_x - tmin_x, 0)
     span_y = jnp.maximum(tmax_y - tmin_y, 0)
-    count = jnp.where(radius > 0, span_x * span_y, 0).astype(jnp.int32)
+    count = jnp.where(r_ok, span_x * span_y, 0).astype(jnp.int32)
 
     cum_end = jnp.cumsum(count)
     num_pairs = cum_end[-1]

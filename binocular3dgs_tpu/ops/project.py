@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -36,6 +37,7 @@ class ProjectedGaussians(NamedTuple):
     opacity: jnp.ndarray  # (N,) post-sigmoid opacity
     radius: jnp.ndarray  # (N,) float screen radius in pixels (0 => culled)
     visible: jnp.ndarray  # (N,) bool
+    bin_extent: jnp.ndarray  # (N, 2) tight per-axis binning extents (px)
 
 
 def compute_cov3d(scaling: jnp.ndarray, rotation_raw: jnp.ndarray, scaling_modifier=1.0):
@@ -155,6 +157,39 @@ def project_gaussians(
 
     visible = active & in_front & det_ok
     radius = jnp.where(visible, radius, 0.0)
+
+    # Tight per-axis BINNING extents — lossless pair-count reduction. A pair
+    # contributes to a pixel only when BOTH (a) the blend keeps it:
+    # alpha = opa*exp(power) >= ALPHA_MIN (1/255), i.e. mahalanobis distance
+    # <= d_max = sqrt(2 ln(255*opa)) whose axis-aligned extent is
+    # d_max*sqrt(cov_axis), and (b) the pixel's tile intersects the CUDA
+    # getRect square of half-width `radius` (the reference's coverage rule,
+    # kept by the dense oracle). Binning with the per-axis min of the two
+    # therefore drops only tiles with exactly-zero contribution: rendered
+    # output and gradients are unchanged, and the REPORTED radius keeps
+    # reference densification semantics. Opacity decay drives opacities down
+    # over training, so this shrinks the pair list exactly where the
+    # workload grows.
+    # +1 px slack: the getRect tmax formula floor((px+r+ts-1)/ts) assumes the
+    # fractional part of px is absorbed by an over-ceiled radius; a raw
+    # fractional extent can miss the last tile by < 1 px. Capped at `radius`
+    # so coverage never exceeds the reference rect (beyond which the
+    # reference composites nothing even at alpha >= 1/255).
+    d_max = jnp.sqrt(jnp.maximum(2.0 * jnp.log(255.0 * opacity), 0.0))
+    ext = jnp.stack(
+        [
+            jnp.minimum(
+                d_max * jnp.sqrt(jnp.maximum(cov2d[..., 0], 0.0)) + 1.0, radius
+            ),
+            jnp.minimum(
+                d_max * jnp.sqrt(jnp.maximum(cov2d[..., 2], 0.0)) + 1.0, radius
+            ),
+        ],
+        axis=-1,
+    )
+    bin_extent = jax.lax.stop_gradient(
+        jnp.where((visible & (d_max > 0.0))[..., None], ext, 0.0)
+    )
     # sanitize every per-gaussian output for invisible rows so no non-finite
     # value (or spurious gradient) can leak into the blend
     mean2d = jnp.where(visible[..., None], mean2d, 0.0)
@@ -182,4 +217,5 @@ def project_gaussians(
         opacity=opacity,
         radius=radius,
         visible=visible,
+        bin_extent=bin_extent,
     )

@@ -168,8 +168,14 @@ def _gather_records_fwd(fields_d, pair_gauss, chunk, n):
 
 
 def _gather_records_bwd(chunk, n, pair_gauss, d_records):
+    from .blend_pallas import REC_ROWS
+
     P = pair_gauss.shape[0]
-    d = d_records[:, :P]
+    # rows 10..15 are alignment padding with exactly-zero cotangents (the
+    # blend backward writes zeros there) — keep them out of the sort-gather
+    # and the cumsum, which are HBM-bound on the pair axis
+    live = 10
+    d = d_records[:live, :P]
     pos = jnp.arange(P, dtype=jnp.int32)
     g_sorted, pos_sorted = jax.lax.sort((pair_gauss, pos), num_keys=1, is_stable=False)
     d_sorted = d[:, pos_sorted]
@@ -182,7 +188,10 @@ def _gather_records_bwd(chunk, n, pair_gauss, d_records):
     both = csum[:, idx]
     hi_v = jnp.where(hi > 0, both[:, :n], 0.0)
     lo_v = jnp.where(lo > 0, both[:, n:], 0.0)
-    return (hi_v - lo_v, np.zeros(pair_gauss.shape, dtype=jax.dtypes.float0))
+    out = jnp.concatenate(
+        [hi_v - lo_v, jnp.zeros((REC_ROWS - live, n), d_records.dtype)], axis=0
+    )
+    return (out, np.zeros(pair_gauss.shape, dtype=jax.dtypes.float0))
 
 
 _gather_records.defvjp(_gather_records_fwd, _gather_records_bwd)
@@ -272,7 +281,7 @@ def render_tiled(
         mean2d = proj.mean2d
 
     binning = bin_gaussians(
-        mean2d, proj.radius, proj.depth, W, rows * ts, ts, pair_capacity
+        mean2d, proj.bin_extent, proj.depth, W, rows * ts, ts, pair_capacity
     )
 
     backend = raster.backend

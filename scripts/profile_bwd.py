@@ -72,15 +72,27 @@ def main():
         return jnp.sum(out.image) + jnp.sum(out.depth) + jnp.sum(out.alpha)
 
     # --- pure vjp apply (forward residuals precomputed once) ---
+    # The pullback (a jax.tree_util.Partial) is passed as a jit ARGUMENT:
+    # closing over it would bake its ~50MB residuals into the HLO as
+    # literals, which the remote compiler chews on for tens of minutes.
     _, pullback = jax.vjp(loss, model.params)
 
-    def mk_vjp_only():
-        def body(acc):
-            (g,) = pullback(1.0 + acc * 1e-12)
+    @jax.jit
+    def run_vjp(pb, a0, n):
+        def body(i, acc):
+            (g,) = pb(1.0 + acc * 1e-12)
             return jnp.sum(g.xyz) * 1e-12
-        return body, jnp.float32(0.0)
+        return jax.lax.fori_loop(0, n, body, a0)
 
-    chain_time(mk_vjp_only, it, "vjp apply only (cached residuals)")
+    float(run_vjp(pullback, jnp.float32(0.0), 1))
+    t0 = time.perf_counter()
+    float(run_vjp(pullback, jnp.float32(0.0), 1))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run_vjp(pullback, jnp.float32(0.0), 1 + it))
+    tK = time.perf_counter() - t0
+    print(f"{'vjp apply only (cached residuals)':36s} {(tK - t1) / it * 1000:8.2f} ms",
+          flush=True)
 
     # --- forward-only for reference ---
     def mk_fwd():
