@@ -233,21 +233,18 @@ def _tiles_to_image(tiles: jnp.ndarray, TW: int, TH: int, ts: int, H: int, W: in
     return x[:H, :W]
 
 
-def render_tiled(
+def project_for_render(
     camera: Camera,
     model: GaussianModel,
-    bg: jnp.ndarray,
     scaling_modifier=1.0,
     override_color: jnp.ndarray | None = None,
     mean2d_carrier: jnp.ndarray | None = None,
     raster: RasterConfig = _DEFAULT_RASTER,
-    tile_row_start=0,
-    tile_rows: int | None = None,
-) -> RenderOutput:
-    """`tile_row_start` (traceable) + `tile_rows` (static) restrict rendering
-    to a horizontal band of tile rows — the pixel-parallel sharding unit; the
-    returned image then has height tile_rows * tile_size (uncropped)."""
-    proj = project_gaussians(
+):
+    """The differentiable vertex stage of render_tiled, exposed separately so
+    the multi-chip path can shard it over the gaussian axis and all-gather
+    the (smaller) projected outputs (parallel/sharding.py)."""
+    return project_gaussians(
         xyz=model.params.xyz,
         scaling=model.get_scaling(),
         rotation_raw=model.params.rotation,
@@ -263,6 +260,40 @@ def render_tiled(
         mean2d_carrier=mean2d_carrier,
     )
 
+
+def render_tiled(
+    camera: Camera,
+    model: GaussianModel,
+    bg: jnp.ndarray,
+    scaling_modifier=1.0,
+    override_color: jnp.ndarray | None = None,
+    mean2d_carrier: jnp.ndarray | None = None,
+    raster: RasterConfig = _DEFAULT_RASTER,
+    tile_row_start=0,
+    tile_rows: int | None = None,
+) -> RenderOutput:
+    """`tile_row_start` (traceable) + `tile_rows` (static) restrict rendering
+    to a horizontal band of tile rows — the pixel-parallel sharding unit; the
+    returned image then has height tile_rows * tile_size (uncropped)."""
+    proj = project_for_render(
+        camera, model, scaling_modifier, override_color, mean2d_carrier, raster
+    )
+    return rasterize_projected(
+        camera, proj, bg, raster=raster,
+        tile_row_start=tile_row_start, tile_rows=tile_rows,
+    )
+
+
+def rasterize_projected(
+    camera: Camera,
+    proj,
+    bg: jnp.ndarray,
+    raster: RasterConfig = _DEFAULT_RASTER,
+    tile_row_start=0,
+    tile_rows: int | None = None,
+) -> RenderOutput:
+    """Binning + blend on an already-projected gaussian set (see
+    project_for_render)."""
     W, H = camera.width, camera.height
     ts = raster.tile_size
     TW, TH = tile_grid(W, H, ts)

@@ -53,9 +53,20 @@ def make_sharded_render(
     height: int,
     raster: RasterConfig | None = None,
     axis: str = "tile",
+    shard_gaussians: bool = False,
 ):
     """A render function with the render_tiled signature that splits tile
-    rows across `mesh[axis]` and returns replicated full-image outputs."""
+    rows across `mesh[axis]` and returns replicated full-image outputs.
+
+    `shard_gaussians=True` additionally shards the VERTEX stage over the same
+    axis (SURVEY.md §2.4 gaussian-parallelism): each device projects only
+    capacity/ndev primitives, then the (13-float) projected outputs are
+    all-gathered over ICI for band-local binning+blend. The all-gather
+    transpose (psum_scatter of projection cotangents) keeps gradients exact.
+    Projection is O(N) VPU work (~1 ms at 100k on a v5e), so this pays off
+    only at primitive counts where vertex work rivals the blend — measured
+    crossover is recorded in README; the pixel-band blend sharding is
+    unchanged either way."""
     raster = raster or RasterConfig()
     ts = raster.tile_size
     TW, TH = tile_grid(width, height, ts)
@@ -70,13 +81,42 @@ def make_sharded_render(
         ppg_band = max(4, -(-raster.pairs_per_gaussian * 3 // ndev))
     raster = dataclasses.replace(raster, pairs_per_gaussian=ppg_band)
 
-    def local_render(camera, model, bg, carrier):
+    def _render_band(camera, model, bg, carrier):
         d = jax.lax.axis_index(axis)
-        out = render_tiled(
-            camera, model, bg,
-            mean2d_carrier=carrier, raster=raster,
-            tile_row_start=d * rows_per_dev, tile_rows=rows_per_dev,
-        )
+        # gaussian-axis sharding needs an even split of the (static) capacity;
+        # capacities are next_pow2-padded so this holds for power-of-two meshes
+        if shard_gaussians and model.capacity % ndev == 0:
+            from ..ops.project import ProjectedGaussians
+            from ..ops.rasterize import project_for_render, rasterize_projected
+
+            cap = model.capacity
+            shard = cap // ndev
+            sl = lambda x: jax.lax.dynamic_slice_in_dim(x, d * shard, shard, 0)
+            local_model = model.replace(
+                params=jax.tree.map(sl, model.params), active=sl(model.active)
+            )
+            proj_local = project_for_render(
+                camera, local_model, mean2d_carrier=sl(carrier), raster=raster
+            )
+            # projected outputs are ~13 floats/gaussian vs ~23 of raw params:
+            # gather the small thing, shard the compute
+            proj = ProjectedGaussians(
+                *(jax.lax.all_gather(f, axis, axis=0, tiled=True) for f in proj_local)
+            )
+            out = rasterize_projected(
+                camera, proj, bg, raster=raster,
+                tile_row_start=d * rows_per_dev, tile_rows=rows_per_dev,
+            )
+        else:
+            out = render_tiled(
+                camera, model, bg,
+                mean2d_carrier=carrier, raster=raster,
+                tile_row_start=d * rows_per_dev, tile_rows=rows_per_dev,
+            )
+        return out
+
+    def local_render(camera, model, bg, carrier):
+        out = _render_band(camera, model, bg, carrier)
         # bands -> full replicated image over ICI
         image = jax.lax.all_gather(out.image, axis, axis=0, tiled=True)[:height]
         depth = jax.lax.all_gather(out.depth, axis, axis=0, tiled=True)[:height]
@@ -118,11 +158,14 @@ def make_sharded_train_step(
     binocular: bool = False,
     use_alpha_weight: bool = False,
     axis: str = "tile",
+    shard_gaussians: bool = False,
 ):
     """The full jit'd train step with the rasterizer sharded over the mesh."""
     from ..train.step import make_train_step
 
-    render_fn = make_sharded_render(mesh, width, height, cfg.raster, axis)
+    render_fn = make_sharded_render(
+        mesh, width, height, cfg.raster, axis, shard_gaussians=shard_gaussians
+    )
     return make_train_step(
         render_fn, cfg, spatial_lr_scale,
         binocular=binocular, use_alpha_weight=use_alpha_weight,

@@ -38,6 +38,37 @@ class TestShardedRender:
         np.testing.assert_allclose(out_s.alpha, out_1.alpha, atol=1e-5)
         np.testing.assert_allclose(out_s.radii, out_1.radii)
 
+    @pytest.mark.parametrize("ndev", [2, 8])
+    def test_gaussian_shard_matches_single_device(self, ndev):
+        """Gaussian-axis vertex sharding (SURVEY §2.4): project N/ndev per
+        device + all-gather projected outputs — must match the replicated
+        path bit-for-bit in outputs and gradients."""
+        cam = camera()
+        m = random_scene(seed=7, n=48, cap=64)  # cap divisible by ndev
+        bg = jnp.asarray([0.2, 0.1, 0.3])
+        mesh = make_mesh(ndev)
+        render_sharded = make_sharded_render(mesh, W, H, RASTER, shard_gaussians=True)
+        out_s = jax.jit(lambda mm: render_sharded(cam, mm, bg))(m)
+        out_1 = render_tiled(cam, m, bg, raster=RASTER)
+        np.testing.assert_allclose(out_s.image, out_1.image, atol=1e-5)
+        np.testing.assert_allclose(out_s.depth, out_1.depth, atol=1e-4)
+        np.testing.assert_allclose(out_s.radii, out_1.radii)
+
+        tgt = jnp.asarray(np.random.default_rng(8).random((H, W, 3)).astype(np.float32))
+
+        def loss(render_fn, params):
+            out = render_fn(cam, m.replace(params=params), bg, mean2d_carrier=None)
+            return jnp.mean((out.image - tgt) ** 2) + 0.1 * jnp.mean(out.alpha)
+
+        g1 = jax.grad(
+            lambda p: loss(lambda *a, **k: render_tiled(*a, raster=RASTER, **k), p)
+        )(m.params)
+        gs = jax.grad(lambda p: loss(render_sharded, p))(m.params)
+        for name in ("xyz", "f_dc", "opacity", "scaling", "rotation"):
+            a, b = np.asarray(getattr(g1, name)), np.asarray(getattr(gs, name))
+            scale = np.abs(a).max() + 1e-8
+            np.testing.assert_allclose(b, a, atol=1e-5 * scale, err_msg=name)
+
     @pytest.mark.slow
     def test_pallas_backend_matches_single_device(self):
         """The production TPU configuration — band-sharded render with the
