@@ -175,7 +175,7 @@ def main():
     # correctness/compile smoke + relative-scaling signal, not TPU perf).
     scaling = {"n1_chip_train_pixels_per_s": round(train_pixels_per_s)}
     if "--no-smoke" in sys.argv:
-        scaling["cpu_mesh_smoke"] = {"ok": None, "skipped": True}
+        scaling["cpu_mesh_smoke"] = {"status": "skipped"}
     else:
         try:
             import subprocess

@@ -149,11 +149,14 @@ def _gather_records(fields_d, pair_gauss, chunk, n):
     """records = fields_d[:, pair_gauss] (+ chunk padding), with a custom VJP.
 
     XLA's VJP of the pair gather is a scatter-add of (16, P) into (16, N)
-    (~14 ms at 800k pairs on a v5e). The transpose here sorts the cotangent
-    columns by gaussian rank and segment-sums them with one cumsum + boundary
-    gathers (~2 ms): invalid pairs carry exactly-zero cotangents (the blend
-    backward only writes inside tile segments onto a pre-zeroed buffer), so
-    summing them into rank 0 is a no-op.
+    (~12 ms at 800k pairs on a v5e). The transpose here sorts the cotangent
+    ROWS as sort payloads keyed by gaussian rank (lax.sort with 10 f32
+    payload rows: 0.8 ms at 800k — an explicit argsort + permutation gather
+    of the same data costs 5.4 ms, TPU gathers being pathological while its
+    sort is a fast radix) and segment-sums them with one cumsum + boundary
+    gathers: invalid pairs carry exactly-zero cotangents (the blend backward
+    only writes inside tile segments onto a pre-zeroed buffer), so summing
+    them into rank 0 is a no-op.
 
     The chunk padding (so a partial final DMA never reads OOB) is folded into
     the gather index — the pad columns hold rank 0's values, which every
@@ -176,9 +179,11 @@ def _gather_records_bwd(chunk, n, pair_gauss, d_records):
     # and the cumsum, which are HBM-bound on the pair axis
     live = 10
     d = d_records[:live, :P]
-    pos = jnp.arange(P, dtype=jnp.int32)
-    g_sorted, pos_sorted = jax.lax.sort((pair_gauss, pos), num_keys=1, is_stable=False)
-    d_sorted = d[:, pos_sorted]
+    sorted_all = jax.lax.sort(
+        (pair_gauss,) + tuple(d[i] for i in range(live)), num_keys=1, is_stable=False
+    )
+    g_sorted = sorted_all[0]
+    d_sorted = jnp.stack(sorted_all[1:], axis=0)
     csum = jnp.cumsum(d_sorted, axis=1)
     bounds = jnp.searchsorted(
         g_sorted, jnp.arange(n + 1, dtype=jnp.int32), side="left", method="sort"

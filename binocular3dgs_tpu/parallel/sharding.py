@@ -81,10 +81,23 @@ def make_sharded_render(
         ppg_band = max(4, -(-raster.pairs_per_gaussian * 3 // ndev))
     raster = dataclasses.replace(raster, pairs_per_gaussian=ppg_band)
 
+    warned = []
+
     def _render_band(camera, model, bg, carrier):
         d = jax.lax.axis_index(axis)
         # gaussian-axis sharding needs an even split of the (static) capacity;
         # capacities are next_pow2-padded so this holds for power-of-two meshes
+        if shard_gaussians and model.capacity % ndev != 0 and not warned:
+            # trace-time signal (capacity is static): the caller asked for
+            # vertex sharding but the replicated path will run instead
+            warned.append(True)
+            import warnings
+
+            warnings.warn(
+                f"shard_gaussians=True but capacity {model.capacity} is not "
+                f"divisible by {ndev} devices; vertex stage runs replicated",
+                stacklevel=2,
+            )
         if shard_gaussians and model.capacity % ndev == 0:
             from ..ops.project import ProjectedGaussians
             from ..ops.rasterize import project_for_render, rasterize_projected

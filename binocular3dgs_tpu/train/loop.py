@@ -80,13 +80,23 @@ class Trainer:
     def __init__(self, cfg: Config, scene: Scene, render_fn=None, model: GaussianModel | None = None):
         self.cfg = cfg
         self.scene = scene
+        # Trainer-owned copy of the raster config: pair-capacity growth
+        # mutates THIS object, never the (possibly shared) cfg.raster — two
+        # Trainers sharing a Config must not leak grown capacities into each
+        # other (or into a render CLI re-using the same Config).
+        import dataclasses as _dc
+
+        self.raster = _dc.replace(cfg.raster)
         if render_fn is None:
             from ..ops.rasterize import render_tiled
 
-            # thread cfg.raster so CLI flags (--backend, --max_pairs_per_tile,
-            # --pairs_per_gaussian, --raster_chunk) actually reach the kernel
+            trainer = self
+
+            # thread the trainer's raster copy so CLI flags (--backend,
+            # --max_pairs_per_tile, --pairs_per_gaussian, --raster_chunk)
+            # reach the kernel and growth re-traces at the new capacity
             def render_fn(camera, model, bg, **kwargs):
-                kwargs.setdefault("raster", cfg.raster)
+                kwargs.setdefault("raster", trainer.raster)
                 return render_tiled(camera, model, bg, **kwargs)
 
         self.render_fn = render_fn
@@ -304,17 +314,18 @@ class Trainer:
         cap = int(getattr(metrics, "pair_capacity", 0))
         if wanted == 0 or cap == 0:  # render_fn does not report pressure
             return
-        raster = self.cfg.raster
+        import dataclasses as _dc
+
+        raster = self.raster
         trigger = self.cfg.capacity.growth_trigger
-        grew = False
+        updates = {}
         if (
             wanted > cap * trigger
             and raster.pairs_per_gaussian < raster.max_pairs_per_gaussian
         ):
-            raster.pairs_per_gaussian = min(
+            updates["pairs_per_gaussian"] = min(
                 raster.pairs_per_gaussian * 2, raster.max_pairs_per_gaussian
             )
-            grew = True
         # max_pairs_per_tile only truncates on the XLA backend (the pallas
         # kernels walk full segments); growing it there would re-jit forever
         backend = raster.backend
@@ -322,13 +333,15 @@ class Trainer:
             backend = "pallas" if jax.default_backend() == "tpu" else "xla"
         max_tile = int(getattr(metrics, "max_tile_pairs", 0))
         if backend == "xla" and max_tile > raster.max_pairs_per_tile * trigger:
-            raster.max_pairs_per_tile = raster.max_pairs_per_tile * 2
-            grew = True
-        if grew:
+            updates["max_pairs_per_tile"] = raster.max_pairs_per_tile * 2
+        if updates:
+            # copy-on-grow: the Trainer's raster copy is replaced, the shared
+            # cfg.raster is untouched
+            self.raster = _dc.replace(raster, **updates)
             print(
                 f"[ITER {iteration}] pair capacity grown: "
-                f"pairs_per_gaussian={raster.pairs_per_gaussian} "
-                f"max_pairs_per_tile={raster.max_pairs_per_tile} "
+                f"pairs_per_gaussian={self.raster.pairs_per_gaussian} "
+                f"max_pairs_per_tile={self.raster.max_pairs_per_tile} "
                 f"(wanted {wanted} pairs, max tile {max_tile})"
             )
             self._step_cache.clear()

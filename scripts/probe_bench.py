@@ -22,14 +22,15 @@ model, cam, gt = make_workload(n, width, height)
 cfg = Config()
 cfg.raster.pairs_per_gaussian = 8
 
-# render forward alone first (cheapest compile)
+# render forward alone first (cheapest compile); hoist the jitted callable
+# so the repeat timings measure cached-executable runs, not retraces
+render_f = jax.jit(lambda m: render_tiled(cam, m, jnp.zeros(3), raster=cfg.raster).image.sum())
 t0 = time.perf_counter()
-out = jax.jit(lambda m: render_tiled(cam, m, jnp.zeros(3), raster=cfg.raster).image.sum())(model)
-v = float(out)
+v = float(render_f(model))
 print(f"render fwd compile+run: {time.perf_counter()-t0:.1f}s (val {v:.3f})", flush=True)
 t0 = time.perf_counter()
 for _ in range(3):
-    float(jax.jit(lambda m: render_tiled(cam, m, jnp.zeros(3), raster=cfg.raster).image.sum())(model))
+    float(render_f(model))
 print(f"render fwd 3 runs: {time.perf_counter()-t0:.2f}s", flush=True)
 
 step = make_train_step(
@@ -40,11 +41,12 @@ state0 = init_train_state(model)
 aw = jnp.zeros((height, width), jnp.float32)
 bg = jnp.zeros(3)
 
+step_f = jax.jit(step)
 t0 = time.perf_counter()
-st, m = jax.jit(step)(state0, cam, gt, aw, jnp.int32(2), jax.random.PRNGKey(0), bg)
+st, m = step_f(state0, cam, gt, aw, jnp.int32(2), jax.random.PRNGKey(0), bg)
 print(f"train step compile+run: {time.perf_counter()-t0:.1f}s loss={float(m.loss):.4f}", flush=True)
 t0 = time.perf_counter()
 for i in range(5):
-    st, m = jax.jit(step)(st, cam, gt, aw, jnp.int32(3 + i), jax.random.PRNGKey(i), bg)
+    st, m = step_f(st, cam, gt, aw, jnp.int32(3 + i), jax.random.PRNGKey(i), bg)
 float(m.loss)
 print(f"train step 5 runs: {time.perf_counter()-t0:.2f}s", flush=True)

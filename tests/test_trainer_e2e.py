@@ -229,15 +229,21 @@ class TestPairCapacityGrowth:
         cfg.train.test_iterations = ()
         cfg.train.save_iterations = ()
         trainer = Trainer(cfg, scene)
-        assert cfg.raster.pairs_per_gaussian == 1
+        assert trainer.raster.pairs_per_gaussian == 1
         trainer.train(3)
-        assert cfg.raster.pairs_per_gaussian > 1, "pair capacity never grew"
+        assert trainer.raster.pairs_per_gaussian > 1, "pair capacity never grew"
+        # growth is copy-on-grow: the shared Config must NOT be mutated
+        assert cfg.raster.pairs_per_gaussian == 1
         # renders report the pressure fields
         out = trainer.render_view(scene.test_views[0])
         assert int(out.pair_capacity) == (
-            cfg.raster.pairs_per_gaussian * trainer.state.model.capacity
+            trainer.raster.pairs_per_gaussian * trainer.state.model.capacity
         )
         assert int(out.num_pairs) > 0
+        # a second Trainer sharing the same Config starts at the original
+        # capacity — no leak through the shared object
+        trainer2 = Trainer(cfg, scene)
+        assert trainer2.raster.pairs_per_gaussian == 1
 
     def test_growth_is_bounded_and_capacity_respected(self):
         """Growth stops at max_pairs_per_gaussian (no unbounded re-jit loop)."""
@@ -253,7 +259,7 @@ class TestPairCapacityGrowth:
         cfg.train.save_iterations = ()
         trainer = Trainer(cfg, scene)
         trainer.train(4)
-        assert cfg.raster.pairs_per_gaussian == 2
+        assert trainer.raster.pairs_per_gaussian == 2
 
 
 class TestFusedSpans:
