@@ -178,11 +178,16 @@ def main():
         scaling["cpu_mesh_smoke"] = {"status": "skipped"}
     else:
         try:
+            import os
             import subprocess
 
+            # strip the TPU-tunnel hook: the smoke subprocess is CPU-only and
+            # must not block on the chip grant the parent bench holds
+            env = dict(os.environ)
+            env.pop("PALLAS_AXON_POOL_IPS", None)
             r = subprocess.run(
                 [sys.executable, __file__, "--cpu-mesh-smoke"],
-                capture_output=True, text=True, timeout=900,
+                capture_output=True, text=True, timeout=900, env=env,
             )
             scaling["cpu_mesh_smoke"] = (
                 json.loads(r.stdout.strip().splitlines()[-1])

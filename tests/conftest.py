@@ -17,6 +17,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Tests (and every subprocess they spawn) are CPU-only: drop the container's
+# TPU-tunnel hook so child interpreters don't register the remote PJRT plugin
+# at startup — registration can block on the single-chip grant held by
+# another process (this exact deadlock made the CLI e2e test time out in
+# rounds 2/3: the train subprocess waited on the grant, not on compiles).
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
 import jax  # noqa: E402
 

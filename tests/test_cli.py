@@ -44,6 +44,13 @@ def run_cli(args, timeout=900):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    # Kill the container's TPU-tunnel hook for CPU-only subprocesses: with
+    # PALLAS_AXON_POOL_IPS set, sitecustomize registers the remote-TPU PJRT
+    # plugin at interpreter start, which can block on the single-chip grant
+    # held by the parent (pytest) — this, not compile cost, is what made the
+    # train subprocess exceed its 900 s timeout in rounds 2/3. A pure-CPU
+    # run of the same command takes ~25 s.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     return subprocess.run(
         [sys.executable, "-m", "binocular3dgs_tpu.cli"] + args,
         cwd=REPO, env=env, capture_output=True, text=True, timeout=timeout,
