@@ -50,6 +50,11 @@ class TileBinning(NamedTuple):
     tile_count: jnp.ndarray  # (T,) int32 number of pairs of each tile
     num_pairs: jnp.ndarray  # () int32 total wanted pairs (pre-truncation)
     order: jnp.ndarray  # (N,) int32 depth order: original index of rank i
+    rank_offsets: jnp.ndarray  # (N+1,) int32 emission offset per depth rank
+    # (exclusive prefix sum of per-rank pair counts; pairs of rank g occupy
+    # emission slots [rank_offsets[g], rank_offsets[g+1]) before truncation
+    # at pair capacity — lets consumers compute exact per-rank segment
+    # bounds without a searchsorted over the pair axis)
 
 
 def tile_grid(width: int, height: int, tile_size: int) -> tuple[int, int]:
@@ -178,6 +183,9 @@ def bin_gaussians(
         tile_count=tile_count,
         num_pairs=num_pairs,
         order=order,
+        rank_offsets=jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), cum_end.astype(jnp.int32)]
+        ),
     )
 
 

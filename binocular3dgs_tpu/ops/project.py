@@ -26,7 +26,6 @@ from flax import struct
 
 from ..core.camera import Camera
 from ..core.sh import eval_sh
-from ..core.transforms import quat_to_rotmat
 
 
 class ProjectedGaussians(NamedTuple):
@@ -41,10 +40,38 @@ class ProjectedGaussians(NamedTuple):
 
 
 def compute_cov3d(scaling: jnp.ndarray, rotation_raw: jnp.ndarray, scaling_modifier=1.0):
-    """Sigma = (R S)(R S)^T from activated scales and raw quaternions."""
-    R = quat_to_rotmat(rotation_raw)
-    L = R * (scaling_modifier * scaling)[..., None, :]
-    return L @ jnp.swapaxes(L, -1, -2)
+    """Sigma = (R S)(R S)^T from activated scales and raw quaternions,
+    packed as (N, 6): (xx, xy, xz, yy, yz, zz) — the reference CUDA layout.
+
+    Component-wise on (N,) arrays: rank-3 (N, 3, 3) intermediates force the
+    TPU T(k, 128) tiled layout on the tiny trailing dims (128/3 lanes
+    wasted) and measured ~3.5 ms per fusion in the projection VJP; the
+    scalarized form fuses into plain (N,)-lane elementwise code.
+    """
+    q = rotation_raw / jnp.linalg.norm(rotation_raw, axis=-1, keepdims=True)
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    # rotation matrix rows (reference utils/general_utils.py:78-101)
+    R00 = 1 - 2 * (y * y + z * z)
+    R01 = 2 * (x * y - r * z)
+    R02 = 2 * (x * z + r * y)
+    R10 = 2 * (x * y + r * z)
+    R11 = 1 - 2 * (x * x + z * z)
+    R12 = 2 * (y * z - r * x)
+    R20 = 2 * (x * z - r * y)
+    R21 = 2 * (y * z + r * x)
+    R22 = 1 - 2 * (x * x + y * y)
+    s0 = scaling_modifier * scaling[..., 0]
+    s1 = scaling_modifier * scaling[..., 1]
+    s2 = scaling_modifier * scaling[..., 2]
+    # L = R diag(s); Sigma = L L^T => Sigma_ik = sum_j R_ij R_kj s_j^2
+    a0, a1, a2 = s0 * s0, s1 * s1, s2 * s2
+    xx = R00 * R00 * a0 + R01 * R01 * a1 + R02 * R02 * a2
+    xy = R00 * R10 * a0 + R01 * R11 * a1 + R02 * R12 * a2
+    xz = R00 * R20 * a0 + R01 * R21 * a1 + R02 * R22 * a2
+    yy = R10 * R10 * a0 + R11 * R11 * a1 + R12 * R12 * a2
+    yz = R10 * R20 * a0 + R11 * R21 * a1 + R12 * R22 * a2
+    zz = R20 * R20 * a0 + R21 * R21 * a1 + R22 * R22 * a2
+    return jnp.stack([xx, xy, xz, yy, yz, zz], axis=-1)
 
 
 def ewa_cov2d(
@@ -57,11 +84,23 @@ def ewa_cov2d(
     """Project 3D covariances to screen space (2x2), returns (N, 3) packed
     (xx, xy, yy) *after* adding the low-pass dilation.
 
+    `cov3d` is (N, 6) packed (xx, xy, xz, yy, yz, zz) or (N, 3, 3) dense.
     `valid` masks rows whose view-space point is usable (z > cull); invalid
     rows are computed at a safe dummy point to keep all arithmetic finite
     (NaNs would otherwise leak through `where` into gradients).
+
+    Fully component-wise (no (N, 2, 3)/(N, 2, 2) batched-matrix
+    intermediates — see compute_cov3d docstring for why).
     """
-    W = camera.world_view.T[:3, :3]  # actual W2C rotation (applied to col vectors)
+    if cov3d.ndim == 3:
+        cov3d = jnp.stack(
+            [
+                cov3d[..., 0, 0], cov3d[..., 0, 1], cov3d[..., 0, 2],
+                cov3d[..., 1, 1], cov3d[..., 1, 2], cov3d[..., 2, 2],
+            ],
+            axis=-1,
+        )
+    Wm = camera.world_view.T[:3, :3]  # actual W2C rotation (applied to col vectors)
     ones = jnp.ones_like(xyz[..., :1])
     t = (jnp.concatenate([xyz, ones], axis=-1) @ camera.world_view)[..., :3]  # view space
     if valid is not None:
@@ -75,19 +114,31 @@ def ewa_cov2d(
     tytz = jnp.clip(t[..., 1] / tz, -limy, limy) * tz
     inv_z = 1.0 / tz
     inv_z2 = inv_z * inv_z
-    # J is the 2x3 Jacobian of the perspective projection at the clamped point
-    J = jnp.stack(
-        [
-            jnp.stack([fx * inv_z, jnp.zeros_like(tz), -fx * txtz * inv_z2], axis=-1),
-            jnp.stack([jnp.zeros_like(tz), fy * inv_z, -fy * tytz * inv_z2], axis=-1),
-        ],
-        axis=-2,
-    )  # (N, 2, 3)
-    T = J @ W  # (N, 2, 3)
-    cov2d = T @ cov3d @ jnp.swapaxes(T, -1, -2)  # (N, 2, 2)
-    xx = cov2d[..., 0, 0] + dilation
-    yy = cov2d[..., 1, 1] + dilation
-    xy = cov2d[..., 0, 1]
+    # J is the 2x3 Jacobian of the perspective projection at the clamped
+    # point: row 0 = (fx/z, 0, -fx tx/z^2), row 1 = (0, fy/z, -fy ty/z^2).
+    j00 = fx * inv_z
+    j02 = -fx * txtz * inv_z2
+    j11 = fy * inv_z
+    j12 = -fy * tytz * inv_z2
+    # T = J W (2x3), rows expanded against the static 3x3 W
+    T00 = j00 * Wm[0, 0] + j02 * Wm[2, 0]
+    T01 = j00 * Wm[0, 1] + j02 * Wm[2, 1]
+    T02 = j00 * Wm[0, 2] + j02 * Wm[2, 2]
+    T10 = j11 * Wm[1, 0] + j12 * Wm[2, 0]
+    T11 = j11 * Wm[1, 1] + j12 * Wm[2, 1]
+    T12 = j11 * Wm[1, 2] + j12 * Wm[2, 2]
+    cxx, cxy, cxz = cov3d[..., 0], cov3d[..., 1], cov3d[..., 2]
+    cyy, cyz, czz = cov3d[..., 3], cov3d[..., 4], cov3d[..., 5]
+    # cov2d = T Sigma T^T: first U = T Sigma (2x3), then U T^T (symmetric 2x2)
+    U00 = T00 * cxx + T01 * cxy + T02 * cxz
+    U01 = T00 * cxy + T01 * cyy + T02 * cyz
+    U02 = T00 * cxz + T01 * cyz + T02 * czz
+    U10 = T10 * cxx + T11 * cxy + T12 * cxz
+    U11 = T10 * cxy + T11 * cyy + T12 * cyz
+    U12 = T10 * cxz + T11 * cyz + T12 * czz
+    xx = U00 * T00 + U01 * T01 + U02 * T02 + dilation
+    xy = U10 * T00 + U11 * T01 + U12 * T02
+    yy = U10 * T10 + U11 * T11 + U12 * T12 + dilation
     return jnp.stack([xx, xy, yy], axis=-1)
 
 

@@ -144,51 +144,61 @@ def _reorder_fields_bwd(inv_order, d_fd):
 _reorder_fields.defvjp(_reorder_fields_fwd, _reorder_fields_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _gather_records(fields_d, pair_gauss, chunk, n):
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _gather_records(fields_d, pair_gauss, rank_offsets, num_pairs, chunk, n):
     """records = fields_d[:, pair_gauss] (+ chunk padding), with a custom VJP.
 
     XLA's VJP of the pair gather is a scatter-add of (16, P) into (16, N)
     (~12 ms at 800k pairs on a v5e). The transpose here sorts the cotangent
     ROWS as sort payloads keyed by gaussian rank (lax.sort with 10 f32
-    payload rows: 0.8 ms at 800k — an explicit argsort + permutation gather
-    of the same data costs 5.4 ms, TPU gathers being pathological while its
-    sort is a fast radix) and segment-sums them with one cumsum + boundary
-    gathers: invalid pairs carry exactly-zero cotangents (the blend backward
-    only writes inside tile segments onto a pre-zeroed buffer), so summing
-    them into rank 0 is a no-op.
+    payload rows — an explicit argsort + permutation gather of the same
+    data costs 5.4 ms, TPU gathers being pathological while its sort is
+    fast) and segment-sums them with one cumsum + boundary gathers.
 
-    The chunk padding (so a partial final DMA never reads OOB) is folded into
-    the gather index — the pad columns hold rank 0's values, which every
-    consumer masks by count.
+    Per-rank segment bounds come from the binning's `rank_offsets`
+    (emission-order prefix sums) — NOT from a searchsorted over the pair
+    axis: searchsorted(method='sort') concatenates and re-sorts 900k keys,
+    measured 5.3 ms/render on a v5e; the bounds arithmetic below is free.
+    Bound bookkeeping: emission order is rank-major, so truncation at pair
+    capacity drops a SUFFIX of emission slots; valid pairs of rank g occupy
+    [clip(off[g], 0, Pv), clip(off[g+1], 0, Pv)) of the valid region, and
+    the P - Pv invalid tail pairs sort into rank 0's segment (their keys
+    are 0) where their exactly-zero cotangents (the blend backward only
+    writes inside tile segments onto a pre-zeroed buffer) are a no-op.
+
+    The chunk padding (so a partial final DMA never reads OOB) is folded
+    into the gather index — the pad columns hold rank 0's values, which
+    every consumer masks by count.
     """
     idx = jnp.concatenate([pair_gauss, jnp.zeros(chunk, jnp.int32)])
     return fields_d[:, idx]
 
 
-def _gather_records_fwd(fields_d, pair_gauss, chunk, n):
-    return _gather_records(fields_d, pair_gauss, chunk, n), pair_gauss
+def _gather_records_fwd(fields_d, pair_gauss, rank_offsets, num_pairs, chunk, n):
+    out = _gather_records(fields_d, pair_gauss, rank_offsets, num_pairs, chunk, n)
+    return out, (pair_gauss, rank_offsets, num_pairs)
 
 
-def _gather_records_bwd(chunk, n, pair_gauss, d_records):
+def _gather_records_bwd(chunk, n, res, d_records):
     from .blend_pallas import REC_ROWS
 
+    pair_gauss, rank_offsets, num_pairs = res
     P = pair_gauss.shape[0]
     # rows 10..15 are alignment padding with exactly-zero cotangents (the
-    # blend backward writes zeros there) — keep them out of the sort-gather
-    # and the cumsum, which are HBM-bound on the pair axis
+    # blend backward writes zeros there) — keep them out of the sort and
+    # the cumsum, which are HBM-bound on the pair axis
     live = 10
     d = d_records[:live, :P]
     sorted_all = jax.lax.sort(
         (pair_gauss,) + tuple(d[i] for i in range(live)), num_keys=1, is_stable=False
     )
-    g_sorted = sorted_all[0]
     d_sorted = jnp.stack(sorted_all[1:], axis=0)
     csum = jnp.cumsum(d_sorted, axis=1)
-    bounds = jnp.searchsorted(
-        g_sorted, jnp.arange(n + 1, dtype=jnp.int32), side="left", method="sort"
-    ).astype(jnp.int32)
-    lo, hi = bounds[:-1], bounds[1:]
+    Pv = jnp.minimum(num_pairs, P).astype(jnp.int32)
+    tail = P - Pv  # invalid pairs, sorted into rank 0 (zero cotangents)
+    off = jnp.clip(rank_offsets, 0, Pv)
+    lo = jnp.where(jnp.arange(n, dtype=jnp.int32) > 0, off[:-1] + tail, 0)
+    hi = off[1:] + tail
     idx = jnp.maximum(jnp.concatenate([hi, lo]) - 1, 0)  # one combined gather
     both = csum[:, idx]
     hi_v = jnp.where(hi > 0, both[:, :n], 0.0)
@@ -196,7 +206,13 @@ def _gather_records_bwd(chunk, n, pair_gauss, d_records):
     out = jnp.concatenate(
         [hi_v - lo_v, jnp.zeros((REC_ROWS - live, n), d_records.dtype)], axis=0
     )
-    return (out, np.zeros(pair_gauss.shape, dtype=jax.dtypes.float0))
+    f0 = jax.dtypes.float0
+    return (
+        out,
+        np.zeros(pair_gauss.shape, dtype=f0),
+        np.zeros(rank_offsets.shape, dtype=f0),
+        np.zeros(num_pairs.shape, dtype=f0),
+    )
 
 
 _gather_records.defvjp(_gather_records_fwd, _gather_records_bwd)
@@ -331,7 +347,10 @@ def rasterize_projected(
         fields_d = _reorder_fields(fields, binning.order, inv_order)
         # pair gather (custom VJP; pads the pair axis so a partial final DMA
         # chunk never reads OOB)
-        records = _gather_records(fields_d, binning.pair_gauss, chunk, N)
+        records = _gather_records(
+            fields_d, binning.pair_gauss, binning.rank_offsets,
+            jax.lax.stop_gradient(binning.num_pairs), chunk, N,
+        )
         out5 = _blend_records_pallas(
             records, binning.tile_start, binning.tile_count, TW, rows, ts, chunk,
             interpret, raster.pallas_tile_group,

@@ -144,7 +144,11 @@ def main():
     def mk_gather_vjp():
         def body(acc):
             d = d_records + acc * 1e-12
-            out = rz._gather_records_bwd(chunk, N, binning.pair_gauss, d)[0]
+            out = rz._gather_records_bwd(
+                chunk, N,
+                (binning.pair_gauss, binning.rank_offsets, binning.num_pairs),
+                d,
+            )[0]
             return jnp.sum(out[5]) * 1e-12
         return body, jnp.float32(0.0)
 
@@ -191,7 +195,9 @@ def main():
             )
             inv = jnp.argsort(b.order).astype(jnp.int32)
             fd = rz._reorder_fields(fields, b.order, inv)
-            rec = rz._gather_records(fd, b.pair_gauss, chunk, N)
+            rec = rz._gather_records(
+                fd, b.pair_gauss, b.rank_offsets, b.num_pairs, chunk, N
+            )
             return jnp.sum(rec[5][:8]) * 1e-12
         return body, jnp.float32(0.0)
 
