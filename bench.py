@@ -59,7 +59,7 @@ def make_workload(n=100_000, width=1008, height=756, seed=0):
         active_sh_degree=1,
     )
     cam = make_camera(np.eye(3), np.zeros(3), 0.9, 0.7, width, height)
-    gt = jnp.asarray(rng.random((height, width, 3)).astype(np.float32))
+    gt = jnp.asarray(rng.random((3, height, width)).astype(np.float32))  # planar
     return model, cam, gt
 
 

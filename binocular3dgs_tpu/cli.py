@@ -191,10 +191,15 @@ def _load_trained(args):
 
 
 def _save_png(arr, path):
+    """arr: (H, W, 3) host convention or (3, H, W) device (planar) — planar
+    arrays are transposed at this host boundary."""
     from PIL import Image
 
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    Image.fromarray((np.clip(np.asarray(arr), 0, 1) * 255).astype(np.uint8)).save(path)
+    arr = np.asarray(arr)
+    if arr.ndim == 3 and arr.shape[0] == 3 and arr.shape[-1] != 3:
+        arr = arr.transpose(1, 2, 0)
+    Image.fromarray((np.clip(arr, 0, 1) * 255).astype(np.uint8)).save(path)
 
 
 def cmd_render(argv):

@@ -86,12 +86,14 @@ def evaluate_dir(
                         Image.fromarray((render * 255).astype(np.uint8)).save(
                             method_dir / "masked" / f"{idx:05d}.png"
                         )
-            r = jnp.asarray(render)
-            g = jnp.asarray(gt)
+            # loss ops are channels-first; lpips keeps the host (H, W, 3)
+            r = jnp.asarray(render.transpose(2, 0, 1))
+            g = jnp.asarray(gt.transpose(2, 0, 1))
+            m = jnp.asarray(mask.transpose(2, 0, 1)) if mask is not None else None
             ssims.append(float(ssim(r, g)))
-            psnrs.append(float(psnr(r, g, mask=jnp.asarray(mask) if mask is not None else None)))
+            psnrs.append(float(psnr(r, g, mask=m)))
             if lpips_fn is not None:
-                lpipss.append(float(lpips_fn(r, g)))
+                lpipss.append(float(lpips_fn(jnp.asarray(render), jnp.asarray(gt))))
         entry = {
             "SSIM": float(np.mean(ssims)) if ssims else None,
             "PSNR": float(np.mean(psnrs)) if psnrs else None,

@@ -5,8 +5,11 @@ unnormalized mask convention, window-11 sigma-1.5 SSIM, edge-aware disparity
 SmoothLoss with hardcoded central-difference kernels and VALID padding) and
 `utils/image_utils.py:18` (PSNR, optionally mask==1 selected).
 
-Images are (H, W, C) float32 (channels-last, TPU-friendly); all functions
-also accept a leading batch dim.
+Images are (C, H, W) float32 (channels-first / planar, like the torch
+reference): on TPU a trailing channel dim of 3 would be tile-padded to 128
+lanes, making every image-space op ~42x more memory traffic (measured
+1-4 ms per fusion at 1008x756 on a v5e). All functions also accept a
+leading batch dim (B, C, H, W).
 """
 
 from __future__ import annotations
@@ -56,21 +59,23 @@ def _band_matrix(n: int, window: jnp.ndarray) -> jnp.ndarray:
 def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     """Separable 2D gaussian filter with zero ('SAME') padding, per channel.
 
-    img: (B, H, W, C). Implemented as two banded matmuls (rows/columns
+    img: (B, C, H, W). Implemented as two banded matmuls (rows/columns
     contracted against constant (W, W)/(H, H) band matrices) rather than
     grouped convolutions: TPU convs with C=3 feature groups run far off the
     MXU's preferred layout (~8 ms for the 5 SSIM blurs at 1008x756 on a
     v5e), while the matmuls keep the MXU fully fed. Matches the reference's
     conv2d(groups=C) + outer-product window exactly."""
-    H, W = img.shape[1], img.shape[2]
+    H, W = img.shape[2], img.shape[3]
     bw = _band_matrix(W, window)
     bh = _band_matrix(H, window)
-    x = jnp.einsum("bhwc,wv->bhvc", img, bw)
-    return jnp.einsum("bhwc,hu->buwc", x, bh)
+    x = jnp.einsum("bchw,wv->bchv", img, bw)
+    return jnp.einsum("bchw,hu->bcuw", x, bh)
 
 
 def ssim(img1, img2, window_size: int = SSIM_WINDOW, size_average: bool = True):
-    """Structural similarity (reference `utils/loss_utils.py:36-66`)."""
+    """Structural similarity (reference `utils/loss_utils.py:36-66`).
+
+    img1/img2: (C, H, W) or (B, C, H, W)."""
     squeeze = img1.ndim == 3
     if squeeze:
         img1, img2 = img1[None], img2[None]
@@ -96,15 +101,13 @@ def ssim(img1, img2, window_size: int = SSIM_WINDOW, size_average: bool = True):
 def smooth_loss(disparity, image):
     """Edge-aware disparity smoothness (reference `utils/loss_utils.py:68-91`).
 
-    disparity: (H, W) or (H, W, 1); image: (H, W, 3). VALID 3x3 convs:
+    disparity: (H, W); image: (3, H, W). VALID 3x3 convs:
     horizontal/vertical central differences (x0.5), image edges summed over
     channels, weight exp(-0.33*|edge|).
     """
-    if disparity.ndim == 3:
-        disparity = disparity[..., 0]
     # x-direction central difference at interior pixels
-    ex_im = 0.5 * (image[1:-1, 2:, :] - image[1:-1, :-2, :]).sum(axis=-1)
-    ey_im = 0.5 * (image[2:, 1:-1, :] - image[:-2, 1:-1, :]).sum(axis=-1)
+    ex_im = 0.5 * (image[:, 1:-1, 2:] - image[:, 1:-1, :-2]).sum(axis=0)
+    ey_im = 0.5 * (image[:, 2:, 1:-1] - image[:, :-2, 1:-1]).sum(axis=0)
     ex_d = 0.5 * (disparity[1:-1, 2:] - disparity[1:-1, :-2])
     ey_d = 0.5 * (disparity[2:, 1:-1] - disparity[:-2, 1:-1])
     wx = jnp.exp(-0.33 * jnp.abs(ex_im))

@@ -246,12 +246,16 @@ def _build_fields(proj, mean2d):
     )
 
 
-def _tiles_to_image(tiles: jnp.ndarray, TW: int, TH: int, ts: int, H: int, W: int):
-    """(T, S, ...) tile blocks -> (H, W, ...) image crop."""
-    trailing = tiles.shape[2:]
-    x = tiles.reshape((TH, TW, ts, ts) + trailing)
-    x = jnp.moveaxis(x, 2, 1).reshape((TH * ts, TW * ts) + trailing)
-    return x[:H, :W]
+def _tiles_to_planes(tiles: jnp.ndarray, TW: int, TH: int, ts: int, H: int, W: int):
+    """(T, K, S) per-tile channel blocks -> (K, H, W) planar image crop.
+
+    Planar (channels-first) on purpose: a (H, W, K) result with K=3/5 would
+    get the TPU T(8,128) tiled layout on its trailing dims, padding K to 128
+    lanes (42x memory blowup on every downstream image op)."""
+    K = tiles.shape[1]
+    x = tiles.reshape(TH, TW, K, ts, ts)
+    x = jnp.transpose(x, (2, 0, 3, 1, 4)).reshape(K, TH * ts, TW * ts)
+    return x[:, :H, :W]
 
 
 def project_for_render(
@@ -354,10 +358,7 @@ def rasterize_projected(
         out5 = _blend_records_pallas(
             records, binning.tile_start, binning.tile_count, TW, rows, ts, chunk,
             interpret, raster.pallas_tile_group,
-        )
-        rgb_t = jnp.transpose(out5[:, 0:3, :], (0, 2, 1))  # (T, S, 3)
-        dep_t = out5[:, 3, :]
-        T_final_t = out5[:, 4, :]
+        )  # (T, 5, S): rows r g b depth T_final
     else:
         pair_gauss = binning.order[binning.pair_gauss]  # back to caller index space
         inputs = BlendInputs(
@@ -372,12 +373,15 @@ def rasterize_projected(
             inputs, pair_gauss, binning.tile_start, binning.tile_count,
             TW, rows, ts, mpt, raster.chunk,
         )
+        out5 = jnp.concatenate(
+            [jnp.transpose(rgb_t, (0, 2, 1)), dep_t[:, None, :], T_final_t[:, None, :]],
+            axis=1,
+        )
     crop_h = rows * ts if band else H
-    rgb = _tiles_to_image(rgb_t, TW, rows, ts, crop_h, W)
-    dep = _tiles_to_image(dep_t[..., None], TW, rows, ts, crop_h, W)[..., 0]
-    T_final = _tiles_to_image(T_final_t[..., None], TW, rows, ts, crop_h, W)[..., 0]
+    planes = _tiles_to_planes(out5, TW, rows, ts, crop_h, W)  # (5, h, W)
+    rgb, dep, T_final = planes[0:3], planes[3], planes[4]
 
-    image = rgb + T_final[..., None] * bg[None, None, :]
+    image = rgb + T_final[None] * bg[:, None, None]
     alpha = 1.0 - T_final
     return RenderOutput(
         image=image,

@@ -34,7 +34,9 @@ ALPHA_CLAMP = 0.99
 
 @struct.dataclass
 class RenderOutput:
-    image: jnp.ndarray  # (H, W, 3)
+    image: jnp.ndarray  # (3, H, W) — channels-first (planar): a trailing
+    # channel dim of 3 would be padded to 128 lanes by the TPU tiled layout
+    # (42x memory blowup on every image-space op, measured ~1-4 ms/fusion)
     depth: jnp.ndarray  # (H, W)
     alpha: jnp.ndarray  # (H, W)
     radii: jnp.ndarray  # (N,) float; 0 => culled
@@ -117,7 +119,7 @@ def blend_dense(
     T_before = jnp.concatenate([jnp.ones_like(T_incl[..., :1]), T_incl[..., :-1]], axis=-1)
     w = alpha_eff * T_before  # (H, W, N)
 
-    image = w @ color + T_incl[..., -1:] * bg[None, None, :]
+    image = jnp.einsum("hwn,nc->chw", w, color) + T_incl[..., -1][None] * bg[:, None, None]
     depth_out = w @ depth
     alpha_out = 1.0 - T_incl[..., -1]
     return image, depth_out, alpha_out

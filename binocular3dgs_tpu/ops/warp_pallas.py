@@ -1,23 +1,33 @@
 """Pallas TPU kernels for the horizontal inverse warp (ops/warp.py).
 
 XLA lowers the warp's per-pixel column gather to a general gather (~8 ms at
-1008x756 on a v5e) and its VJP to a scatter-add (~67 ms, measured) — both
-pathological on TPU. Here each image row is warped as a banded one-hot
-matrix contraction on the MXU instead:
+1008x756 on a v5e), its VJP to a scatter-add (~67 ms, measured), and even a
+lane-axis jnp.take_along_axis measures ~46 ms. An earlier Pallas version
+built a (W, W) one-hot matrix per row and contracted it on the MXU
+(~3.4 ms fwd) — still dominated by the O(W^2) one-hot build on the VPU.
 
-    M[w, c] = valid[c] * (w0[c] * [w == c0[c]] + w1[c] * [w == c1[c]])
-    out[c, ch]  = sum_w M[w, c] * img[w, ch]        (forward)
-    d_img[w,ch] = sum_c M[w, c] * d_out[c, ch]      (transpose — same M)
+This version is a *shift-accumulate* kernel: for an 8-row block, only
+integer shifts s in [min floor(d), max floor(d) + 1] can contribute, so
 
-The one-hot M is built on the VPU per row ((W, W) compares) and contracted
-immediately in VMEM, so the (H, W, W) tensor XLA would materialize never
-exists. Out-of-bounds columns produce all-zero one-hot columns, which
-reproduces the reference's zero fill (`utils/graphics_utils.py:80-125`)
-without clipping. The forward also emits diff = g1 - g0, the only residual
-the disparity cotangent needs (d_disp = sum_ch diff * d_out on valid pixels).
+    out   = sum_s coeff_s * roll(img,  -s)   with
+    coeff_s[c] = w0[c]*[x0[c] == s] + w1[c]*[x0[c] == s-1]
+    d_img = sum_s roll(coeff_s * d_out, +s)  (exact transpose, same loop)
 
-Grid is one program per image row; input/output rows are auto-pipelined by
-block specs.
+The loop length adapts to the block's actual disparity range (a dynamic
+while_loop): cost is O(range * W) per block instead of O(W^2) per row —
+~30x less work for typical binocular disparities (tens of pixels), with
+the worst case degenerating to the one-hot cost. Out-of-bounds pixels have
+both weights zeroed (reference `utils/graphics_utils.py:80-125` zero-fill),
+which also kills wrap-around lanes of the roll. The forward also emits
+diff = g1 - g0, the only residual the disparity cotangent needs
+(d_disp = sum_ch diff * d_out on valid pixels, computed in ops/warp.py).
+
+Images are channels-first (C, H, W); blocks are (C, R, Wp) with R = 8 rows
+(the Mosaic sublane granule) and Wp = W padded to a lane multiple of 128
+(tpu.dynamic_rotate requires aligned shapes); validity is evaluated against
+the REAL width, so padded lanes never carry weight. Rolls use pltpu.roll
+(dynamic lane rotate) per 2D channel plane on hardware and jnp.roll in
+interpret mode.
 """
 
 from __future__ import annotations
@@ -29,93 +39,144 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+ROWS = 8  # sublane granule
 
-def _row_weights(disp_row, W):
-    """disp_row: (1, W). Returns (c0, c1, w0, w1) with weights zeroed on
-    invalid (out-of-bounds) pixels."""
-    x0 = jnp.floor(disp_row)
+
+def _roll_lanes(x, shift, interpret: bool):
+    """roll a (C, R, Wp) block along lanes by a traced shift; hardware rolls
+    go per 2D channel plane (Mosaic dynamic_rotate is happiest on 2D)."""
+    if interpret:
+        return jnp.roll(x, shift, axis=-1)
+    return jnp.stack(
+        [pltpu.roll(x[c], shift, axis=1) for c in range(x.shape[0])], axis=0
+    )
+
+
+def _block_weights(disp, W):
+    """disp: (R, W). Returns (x0i, w0, w1) with weights zeroed on invalid
+    (out-of-bounds) pixels."""
+    x0 = jnp.floor(disp)
     x0i = x0.astype(jnp.int32)
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, disp.shape, 1)
     c0 = col + x0i
-    c1 = c0 + 1
-    valid = (c0 >= 0) & (c1 < W)
-    frac = disp_row - x0
+    valid = (c0 >= 0) & (c0 + 1 < W)
+    frac = disp - x0
     w1 = jnp.where(valid, frac, 0.0)
     w0 = jnp.where(valid, 1.0 - frac, 0.0)
-    return c0, c1, w0, w1
+    return x0i, w0, w1
 
 
-def _fwd_kernel(disp_ref, img_ref, out_ref, diff_ref, *, W: int):
-    d = disp_ref[0, :, :]  # (1, W)
-    c0, c1, w0, w1 = _row_weights(d, W)
-    wrow = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)  # source index per row
-    oh0 = (wrow == c0).astype(jnp.float32)  # (W, W): [w == c0[c]]
-    oh1 = (wrow == c1).astype(jnp.float32)
-    img = img_ref[0, :, :]  # (W, C)
-    dims = (((0,), (0,)), ((), ()))
-    g0 = jax.lax.dot_general(oh0, img, dims, preferred_element_type=jnp.float32)
-    g1 = jax.lax.dot_general(oh1, img, dims, preferred_element_type=jnp.float32)
-    # the (1, W) weights index output pixel c = the one-hots' axis 1, so they
-    # fold into M by broadcasting — no lane->sublane transpose ever needed
-    M = oh0 * w0 + oh1 * w1
-    out = jax.lax.dot_general(M, img, dims, preferred_element_type=jnp.float32)
-    out_ref[0, :, :] = out
-    diff_ref[0, :, :] = g1 - g0
+def _fwd_kernel(disp_ref, img_ref, out_ref, diff_ref, *, W: int, interpret: bool):
+    disp = disp_ref[:, :]  # (R, W)
+    img = img_ref[:, :, :]  # (C, R, W)
+    x0i, w0, w1 = _block_weights(disp, W)
+    # only shifts that actually occur in this block contribute; invalid
+    # pixels are masked by zero weights, so clamp their x0 out of the range
+    # reduction to keep the loop short
+    live = (w0 + w1) > 0.0
+    x0_live = jnp.where(live, x0i, jnp.iinfo(jnp.int32).max)
+    x1_live = jnp.where(live, x0i, jnp.iinfo(jnp.int32).min)
+    smin = jnp.min(x0_live)
+    smax = jnp.max(x1_live) + 1  # x1 = x0 + 1 contributes at shift s = x0+1
+
+    def body(carry):
+        s, acc, dif = carry
+        m0 = (x0i == s).astype(jnp.float32)
+        m1 = (x0i == s - 1).astype(jnp.float32)
+        coeff = w0 * m0 + w1 * m1  # (R, W)
+        g = _roll_lanes(img, -s, interpret)  # img[..., c + s]
+        acc = acc + coeff[None] * g
+        dif = dif + (m1 - m0)[None] * g
+        return (s + 1, acc, dif)
+
+    def cond(carry):
+        return carry[0] <= smax
+
+    zero = jnp.zeros_like(img)
+    # empty range (fully invalid block) never enters the loop
+    _, out, diff = jax.lax.while_loop(cond, body, (smin, zero, zero))
+    out_ref[:, :, :] = out
+    diff_ref[:, :, :] = diff
 
 
-def _bwd_kernel(disp_ref, dout_ref, dimg_ref, *, W: int):
-    d = disp_ref[0, :, :]  # (1, W)
-    c0, c1, w0, w1 = _row_weights(d, W)
-    wrow = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0)
-    M = (wrow == c0).astype(jnp.float32) * w0 + (wrow == c1).astype(jnp.float32) * w1
-    dout = dout_ref[0, :, :]  # (W, C), rows indexed by output pixel c
-    dimg = jax.lax.dot_general(
-        M, dout, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dimg_ref[0, :, :] = dimg
+def _bwd_kernel(disp_ref, dout_ref, dimg_ref, *, W: int, interpret: bool):
+    disp = disp_ref[:, :]
+    dout = dout_ref[:, :, :]  # (C, R, W)
+    x0i, w0, w1 = _block_weights(disp, W)
+    live = (w0 + w1) > 0.0
+    x0_live = jnp.where(live, x0i, jnp.iinfo(jnp.int32).max)
+    x1_live = jnp.where(live, x0i, jnp.iinfo(jnp.int32).min)
+    smin = jnp.min(x0_live)
+    smax = jnp.max(x1_live) + 1
+
+    def body(carry):
+        s, acc = carry
+        coeff = w0 * (x0i == s) + w1 * (x0i == s - 1)
+        acc = acc + _roll_lanes(coeff[None] * dout, s, interpret)
+        return (s + 1, acc)
+
+    def cond(carry):
+        return carry[0] <= smax
+
+    _, dimg = jax.lax.while_loop(cond, body, (smin, jnp.zeros_like(dout)))
+    dimg_ref[:, :, :] = dimg
+
+
+def _pad_block(x, H, axis):
+    """Pad rows to a multiple of 8 (sublanes) and width to a multiple of 128
+    (lanes — required by the dynamic rotate)."""
+    pad_h = (-H) % ROWS
+    W = x.shape[-1]
+    pad_w = (-W) % 128
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (0, pad_h)
+    cfg[-1] = (0, pad_w)
+    return jnp.pad(x, cfg), H + pad_h, W + pad_w
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def warp_forward_pallas(image, disparity, interpret: bool = False):
-    """image: (H, W, C); disparity: (H, W). Returns (out, diff)."""
-    H, W, C = image.shape
-    kernel = functools.partial(_fwd_kernel, W=W)
-    # disparity is fed as (H, 1, W): Mosaic requires a block's last two dims
-    # to divide (8, 128) or equal the array dims — (1, W) against (H, W) does
-    # neither, (1, 1, W) against (H, 1, W) matches both trailing dims
+    """image: (C, H, W); disparity: (H, W). Returns (out, diff)."""
+    C, H, W = image.shape
+    image_p, Hp, Wp = _pad_block(image, H, 1)
+    disp_p, _, _ = _pad_block(disparity, H, 0)
+    kernel = functools.partial(_fwd_kernel, W=W, interpret=interpret)
     out, diff = pl.pallas_call(
         kernel,
-        grid=(H,),
+        grid=(Hp // ROWS,),
         in_specs=[
-            pl.BlockSpec((1, 1, W), lambda h: (h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, C), lambda h: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, Wp), lambda h: (h, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, ROWS, Wp), lambda h: (0, h, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, W, C), lambda h: (h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, C), lambda h: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, ROWS, Wp), lambda h: (0, h, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, ROWS, Wp), lambda h: (0, h, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((H, W, C), jnp.float32),
-            jax.ShapeDtypeStruct((H, W, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, Hp, Wp), jnp.float32),
+            jax.ShapeDtypeStruct((C, Hp, Wp), jnp.float32),
         ],
         interpret=interpret,
-    )(disparity[:, None, :], image)
-    return out, diff
+    )(disp_p, image_p)
+    return out[:, :H, :W], diff[:, :H, :W]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def warp_backward_pallas(disparity, d_out, interpret: bool = False):
-    """Transpose warp: d_image from d_out. disparity: (H, W); d_out (H, W, C)."""
-    H, W, C = d_out.shape
-    kernel = functools.partial(_bwd_kernel, W=W)
-    return pl.pallas_call(
+    """Transpose warp: d_image from d_out. disparity: (H, W); d_out (C, H, W)."""
+    C, H, W = d_out.shape
+    dout_p, Hp, Wp = _pad_block(d_out, H, 1)
+    disp_p, _, _ = _pad_block(disparity, H, 0)
+    kernel = functools.partial(_bwd_kernel, W=W, interpret=interpret)
+    out = pl.pallas_call(
         kernel,
-        grid=(H,),
+        grid=(Hp // ROWS,),
         in_specs=[
-            pl.BlockSpec((1, 1, W), lambda h: (h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, C), lambda h: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROWS, Wp), lambda h: (h, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, ROWS, Wp), lambda h: (0, h, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, W, C), lambda h: (h, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((H, W, C), jnp.float32),
+        out_specs=pl.BlockSpec((C, ROWS, Wp), lambda h: (0, h, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, Hp, Wp), jnp.float32),
         interpret=interpret,
-    )(disparity[:, None, :], d_out)
+    )(disp_p, dout_p)
+    return out[:, :H, :W]

@@ -130,8 +130,9 @@ def make_sharded_render(
 
     def local_render(camera, model, bg, carrier):
         out = _render_band(camera, model, bg, carrier)
-        # bands -> full replicated image over ICI
-        image = jax.lax.all_gather(out.image, axis, axis=0, tiled=True)[:height]
+        # bands -> full replicated image over ICI (image is planar (3, h, W):
+        # bands concatenate along the height axis)
+        image = jax.lax.all_gather(out.image, axis, axis=1, tiled=True)[:, :height]
         depth = jax.lax.all_gather(out.depth, axis, axis=0, tiled=True)[:height]
         alpha = jax.lax.all_gather(out.alpha, axis, axis=0, tiled=True)[:height]
         return RenderOutput(

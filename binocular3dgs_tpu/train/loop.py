@@ -112,7 +112,11 @@ class Trainer:
 
         self.views = scene.train_views
         assert len(self.views) > 0
-        self.gt_images = jnp.stack([jnp.asarray(v.image) for v in self.views])
+        # host images are (H, W, 3); device tensors are channels-first
+        # (3, H, W) — see ops/losses.py docstring for the TPU layout rationale
+        self.gt_images = jnp.stack(
+            [jnp.asarray(v.image).transpose(2, 0, 1) for v in self.views]
+        )
         self.alpha_weights = jnp.stack(
             [jnp.asarray(alpha_weight_for_view(cfg, v)) for v in self.views]
         )
@@ -399,7 +403,7 @@ class Trainer:
             for v in views:
                 out = self.render_view(v)
                 img = jnp.clip(out.image, 0.0, 1.0)
-                gt = jnp.clip(jnp.asarray(v.image), 0.0, 1.0)
+                gt = jnp.clip(jnp.asarray(v.image).transpose(2, 0, 1), 0.0, 1.0)
                 l1s.append(float(l1_loss(img, gt)))
                 psnrs.append(float(psnr(img, gt)))
             results[name] = {"l1": float(np.mean(l1s)), "psnr": float(np.mean(psnrs))}

@@ -94,9 +94,9 @@ def compute_losses(
         pair_pressure = _pressure(out_s, pair_pressure)
         disparity = camera.focal_x * (-trans) / (out.depth + 1e-5)
         warped = inverse_warp_image(out_s.image, disparity)
-        mask = warp_mask(disparity, camera.height, camera.width)
+        mask = warp_mask(disparity, camera.height, camera.width)  # (H, W)
         disparity_loss = l1_loss(warped, gt_image, mask=mask) + 0.05 * smooth_loss(
-            disparity * mask[..., 0], gt_image
+            disparity * mask, gt_image
         )
 
     alpha_l = jnp.zeros(())

@@ -55,7 +55,7 @@ class TestPallasBlend:
         m = random_scene(seed=3, n=20, spread=0.8)
         bg = jnp.asarray([0.2, 0.1, 0.4])
         rng = np.random.default_rng(5)
-        tgt = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+        tgt = jnp.asarray(rng.random((3, H, W)).astype(np.float32))
 
         def loss(render_fn, params, carrier):
             mm = m.replace(params=params)

@@ -11,7 +11,7 @@ from binocular3dgs_tpu.ops.warp import inverse_warp_image, warp_mask
 
 def ssim_oracle(img1, img2, size=11, sigma=1.5):
     """scipy-based SSIM identical to the reference torch implementation:
-    per-channel 2D gaussian conv with zero padding."""
+    per-channel 2D gaussian conv with zero padding. imgs: (C, H, W)."""
     xs = np.arange(size) - size // 2
     g = np.exp(-(xs**2) / (2 * sigma**2))
     g = g / g.sum()
@@ -19,8 +19,8 @@ def ssim_oracle(img1, img2, size=11, sigma=1.5):
 
     def blur(x):
         return np.stack(
-            [convolve(x[..., c], win, mode="constant", cval=0.0) for c in range(x.shape[-1])],
-            axis=-1,
+            [convolve(x[c], win, mode="constant", cval=0.0) for c in range(x.shape[0])],
+            axis=0,
         )
 
     mu1, mu2 = blur(img1), blur(img2)
@@ -52,28 +52,28 @@ class TestL1:
 class TestSSIM:
     def test_identical_images(self):
         rng = np.random.default_rng(2)
-        img = rng.random((32, 40, 3)).astype(np.float32)
+        img = rng.random((3, 32, 40)).astype(np.float32)
         assert float(ssim(jnp.asarray(img), jnp.asarray(img))) > 0.9999
 
     def test_matches_scipy_oracle(self):
         rng = np.random.default_rng(3)
-        a = rng.random((24, 30, 3)).astype(np.float32)
+        a = rng.random((3, 24, 30)).astype(np.float32)
         b = np.clip(a + 0.1 * rng.normal(size=a.shape), 0, 1).astype(np.float32)
         got = float(ssim(jnp.asarray(a), jnp.asarray(b)))
         np.testing.assert_allclose(got, ssim_oracle(a, b), rtol=1e-4)
 
     def test_batch_no_average(self):
         rng = np.random.default_rng(4)
-        a = rng.random((2, 16, 16, 3)).astype(np.float32)
-        b = rng.random((2, 16, 16, 3)).astype(np.float32)
+        a = rng.random((2, 3, 16, 16)).astype(np.float32)
+        b = rng.random((2, 3, 16, 16)).astype(np.float32)
         per = ssim(jnp.asarray(a), jnp.asarray(b), size_average=False)
         assert per.shape == (2,)
         np.testing.assert_allclose(float(per[0]), ssim_oracle(a[0], b[0]), rtol=1e-4)
 
     def test_differentiable(self):
         rng = np.random.default_rng(5)
-        a = jnp.asarray(rng.random((16, 16, 3)).astype(np.float32))
-        b = jnp.asarray(rng.random((16, 16, 3)).astype(np.float32))
+        a = jnp.asarray(rng.random((3, 16, 16)).astype(np.float32))
+        b = jnp.asarray(rng.random((3, 16, 16)).astype(np.float32))
         g = jax.grad(lambda x: 1.0 - ssim(x, b))(a)
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).sum()) > 0
@@ -83,11 +83,11 @@ class TestSmoothLoss:
     def test_matches_manual(self):
         rng = np.random.default_rng(6)
         d = rng.random((12, 14)).astype(np.float32)
-        img = rng.random((12, 14, 3)).astype(np.float32)
+        img = rng.random((3, 12, 14)).astype(np.float32)
         got = float(smooth_loss(jnp.asarray(d), jnp.asarray(img)))
         # manual oracle: VALID central differences
-        ex_im = 0.5 * (img[1:-1, 2:] - img[1:-1, :-2]).sum(-1)
-        ey_im = 0.5 * (img[2:, 1:-1] - img[:-2, 1:-1]).sum(-1)
+        ex_im = 0.5 * (img[:, 1:-1, 2:] - img[:, 1:-1, :-2]).sum(0)
+        ey_im = 0.5 * (img[:, 2:, 1:-1] - img[:, :-2, 1:-1]).sum(0)
         ex_d = 0.5 * (d[1:-1, 2:] - d[1:-1, :-2])
         ey_d = 0.5 * (d[2:, 1:-1] - d[:-2, 1:-1])
         expected = (np.abs(np.exp(-0.33 * np.abs(ex_im)) * ex_d)).mean() + (
@@ -96,16 +96,16 @@ class TestSmoothLoss:
         np.testing.assert_allclose(got, expected, rtol=1e-5)
 
     def test_constant_disparity_is_zero(self):
-        img = jnp.asarray(np.random.default_rng(7).random((10, 10, 3)), dtype=jnp.float32)
+        img = jnp.asarray(np.random.default_rng(7).random((3, 10, 10)), dtype=jnp.float32)
         assert float(smooth_loss(jnp.full((10, 10), 3.2), img)) < 1e-7
 
     def test_edges_downweight(self):
         # a strong image edge at the disparity discontinuity reduces the loss
         d = np.zeros((10, 10), np.float32)
         d[:, 5:] = 1.0
-        flat = np.full((10, 10, 3), 0.5, np.float32)
+        flat = np.full((3, 10, 10), 0.5, np.float32)
         edgy = flat.copy()
-        edgy[:, 5:] = 1.0
+        edgy[:, :, 5:] = 1.0
         l_flat = float(smooth_loss(jnp.asarray(d), jnp.asarray(flat)))
         l_edgy = float(smooth_loss(jnp.asarray(d), jnp.asarray(edgy)))
         assert l_edgy < l_flat
@@ -129,8 +129,9 @@ class TestPSNR:
 
 
 def warp_oracle(image, disparity):
-    """Literal python-loop reimplementation of the reference warp semantics."""
-    H, W, C = image.shape
+    """Literal python-loop reimplementation of the reference warp semantics.
+    image: (C, H, W)."""
+    C, H, W = image.shape
     out = np.zeros_like(image)
     for r in range(H):
         for c in range(W):
@@ -140,31 +141,31 @@ def warp_oracle(image, disparity):
             c0, c1 = c + x0, c + x1
             if c0 < 0 or c0 >= W or c1 < 0 or c1 >= W:
                 continue
-            out[r, c] = (x1 - d) * image[r, c0] + (d - x0) * image[r, c1]
+            out[:, r, c] = (x1 - d) * image[:, r, c0] + (d - x0) * image[:, r, c1]
     return out
 
 
 class TestWarp:
     def test_matches_oracle(self):
         rng = np.random.default_rng(9)
-        img = rng.random((10, 12, 3)).astype(np.float32)
+        img = rng.random((3, 10, 12)).astype(np.float32)
         disp = (rng.random((10, 12)).astype(np.float32) - 0.5) * 6
         got = np.asarray(inverse_warp_image(jnp.asarray(img), jnp.asarray(disp)))
         np.testing.assert_allclose(got, warp_oracle(img, disp), atol=1e-6)
 
     def test_zero_disparity_identity(self):
         rng = np.random.default_rng(10)
-        img = rng.random((6, 8, 3)).astype(np.float32)
+        img = rng.random((3, 6, 8)).astype(np.float32)
         got = np.asarray(inverse_warp_image(jnp.asarray(img), jnp.zeros((6, 8))))
         # column W-1 invalid because x1 = c+1 goes OOB (reference behavior)
-        np.testing.assert_allclose(got[:, :-1], img[:, :-1], atol=1e-6)
-        np.testing.assert_allclose(got[:, -1], 0.0)
+        np.testing.assert_allclose(got[..., :-1], img[..., :-1], atol=1e-6)
+        np.testing.assert_allclose(got[..., -1], 0.0)
 
     def test_integer_shift(self):
-        img = np.zeros((4, 8, 1), np.float32)
-        img[:, 5] = 1.0
+        img = np.zeros((1, 4, 8), np.float32)
+        img[..., 5] = 1.0
         got = np.asarray(inverse_warp_image(jnp.asarray(img), jnp.full((4, 8), 2.0)))
-        np.testing.assert_allclose(got[:, 3], 1.0)
+        np.testing.assert_allclose(got[..., 3], 1.0)
 
     def test_mask(self):
         m = np.asarray(warp_mask(jnp.full((4, 8), -3.0), 4, 8))
@@ -173,7 +174,7 @@ class TestWarp:
 
     def test_disparity_gradient(self):
         rng = np.random.default_rng(11)
-        img = jnp.asarray(rng.random((6, 8, 3)).astype(np.float32))
+        img = jnp.asarray(rng.random((3, 6, 8)).astype(np.float32))
         disp = jnp.full((6, 8), 1.3)
 
         def f(d):
@@ -182,16 +183,15 @@ class TestWarp:
         g = np.asarray(jax.grad(f)(disp))
         assert np.isfinite(g).all()
         # interior: d/dd [(x1-d) I0 + (d-x0) I1] = I1 - I0
-        expected = np.asarray(img[:, 1 + 2] - img[:, 1 + 1]).sum()
-        np.testing.assert_allclose(g[0, 1], np.asarray(img[0, 3] - img[0, 2]).sum(), atol=1e-5)
+        np.testing.assert_allclose(g[0, 1], np.asarray(img[:, 0, 3] - img[:, 0, 2]).sum(), atol=1e-5)
 
     def test_pallas_matches_xla(self):
         """The pallas one-hot-contraction warp (interpret mode on CPU) must
         match the XLA gather path: values + image/disparity cotangents."""
         rng = np.random.default_rng(12)
-        img = jnp.asarray(rng.random((10, 24, 3)).astype(np.float32))
+        img = jnp.asarray(rng.random((3, 10, 24)).astype(np.float32))
         disp = jnp.asarray((rng.random((10, 24)).astype(np.float32) - 0.5) * 8)
-        ct = jnp.asarray(rng.random((10, 24, 3)).astype(np.float32))
+        ct = jnp.asarray(rng.random((3, 10, 24)).astype(np.float32))
 
         def run(backend):
             out, vjp = jax.vjp(

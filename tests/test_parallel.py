@@ -54,7 +54,7 @@ class TestShardedRender:
         np.testing.assert_allclose(out_s.depth, out_1.depth, atol=1e-4)
         np.testing.assert_allclose(out_s.radii, out_1.radii)
 
-        tgt = jnp.asarray(np.random.default_rng(8).random((H, W, 3)).astype(np.float32))
+        tgt = jnp.asarray(np.random.default_rng(8).random((3, H, W)).astype(np.float32))
 
         def loss(render_fn, params):
             out = render_fn(cam, m.replace(params=params), bg, mean2d_carrier=None)
@@ -87,7 +87,7 @@ class TestShardedRender:
         np.testing.assert_allclose(out_s.depth, out_1.depth, rtol=2e-4, atol=3e-4)
         np.testing.assert_allclose(out_s.alpha, out_1.alpha, atol=1e-4)
         # gradients through the sharded pallas custom-VJP path
-        tgt = jnp.asarray(np.random.default_rng(6).random((H, W, 3)).astype(np.float32))
+        tgt = jnp.asarray(np.random.default_rng(6).random((3, H, W)).astype(np.float32))
 
         def loss(render_fn, params):
             out = render_fn(cam, m.replace(params=params), bg, mean2d_carrier=None)
@@ -107,7 +107,7 @@ class TestShardedRender:
         cam = camera()
         m = random_scene(seed=1, n=32)
         bg = jnp.zeros(3)
-        tgt = jnp.asarray(np.random.default_rng(2).random((H, W, 3)).astype(np.float32))
+        tgt = jnp.asarray(np.random.default_rng(2).random((3, H, W)).astype(np.float32))
         mesh = make_mesh(4)
         render_sharded = make_sharded_render(mesh, W, H, RASTER)
 
@@ -134,7 +134,7 @@ class TestShardedTrainStep:
         m = random_scene(seed=3, n=40, cap=64)
         state = init_train_state(m)
         cam = camera()
-        gt = jnp.asarray(np.random.default_rng(4).random((H, W, 3)).astype(np.float32))
+        gt = jnp.asarray(np.random.default_rng(4).random((3, H, W)).astype(np.float32))
         aw = jnp.zeros((H, W))
         key = jax.random.PRNGKey(0)
 

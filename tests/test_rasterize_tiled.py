@@ -162,7 +162,7 @@ class TestTiledVsDense:
         m = random_scene(seed=seed, n=40)
         bg = jnp.asarray([0.3, 0.1, 0.2])
         rng = np.random.default_rng(100 + seed)
-        tgt = jnp.asarray(rng.random((H, W, 3)).astype(np.float32))
+        tgt = jnp.asarray(rng.random((3, H, W)).astype(np.float32))
 
         def loss(render_fn, params, carrier):
             mm = m.replace(params=params)
@@ -196,5 +196,5 @@ class TestTiledVsDense:
         m = random_scene(seed=8, n=24)
         out_d = render_dense(cam_odd, m, jnp.zeros(3))
         out_t = render_tiled(cam_odd, m, jnp.zeros(3), raster=RASTER)
-        assert out_t.image.shape == (38, 50, 3)
+        assert out_t.image.shape == (3, 38, 50)
         np.testing.assert_allclose(out_t.image, out_d.image, atol=2e-5)

@@ -92,7 +92,7 @@ class TestDenseRenderer:
         bg = jnp.array([0.2, 0.4, 0.6])
         out = render_dense(cam, m, bg)
         # gaussian behind the camera: culled, image == bg
-        np.testing.assert_allclose(out.image, np.broadcast_to(bg, (H, W, 3)), atol=1e-6)
+        np.testing.assert_allclose(out.image, np.broadcast_to(np.asarray(bg)[:, None, None], (3, H, W)), atol=1e-6)
         assert float(out.radii[0]) == 0.0
         np.testing.assert_allclose(out.alpha, 0.0, atol=1e-7)
         np.testing.assert_allclose(out.depth, 0.0, atol=1e-7)
@@ -115,7 +115,7 @@ class TestDenseRenderer:
         ddx, ddy = cx - px, cy - py
         power = -0.5 * (ddx * ddx / sx2 + ddy * ddy / sy2)
         alpha = min(0.99, op * np.exp(power))
-        np.testing.assert_allclose(out.image[py, px], color[0] * alpha, rtol=1e-4)
+        np.testing.assert_allclose(out.image[:, py, px], color[0] * alpha, rtol=1e-4)
         np.testing.assert_allclose(out.depth[py, px], z * alpha, rtol=1e-4)
         np.testing.assert_allclose(out.alpha[py, px], alpha, rtol=1e-4)
         # radius = ceil(3 * sqrt(max eigenvalue)), with the CUDA-spec
@@ -145,7 +145,7 @@ class TestDenseRenderer:
             + np.array(blue) * op * (1 - op)
             + 1.0 * (1 - op) ** 2
         )
-        np.testing.assert_allclose(out.image[py, px], expected, rtol=2e-3)
+        np.testing.assert_allclose(out.image[:, py, px], expected, rtol=2e-3)
         d_expected = 4.0 * op + 8.0 * op * (1 - op)
         np.testing.assert_allclose(out.depth[py, px], d_expected, rtol=2e-3)
 
@@ -198,7 +198,7 @@ class TestDenseRenderer:
             np.array([[0.3, 0.1, 0.2], [0.15, 0.4, 0.1]]),
             quats=np.array([[0.9, 0.3, 0.2, 0.1], [0.8, -0.2, 0.4, 0.3]]),
         )
-        target = jnp.zeros((H, W, 3))
+        target = jnp.zeros((3, H, W))
 
         def loss_fn(params, carrier):
             mm = m.replace(params=params)

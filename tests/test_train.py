@@ -283,7 +283,7 @@ class TestTrainStep:
         model = toy_model(20, cap=32)
         state = init_train_state(model)
         cam = make_camera(np.eye(3), np.zeros(3), 0.9, 0.7, 32, 24)
-        gt = jnp.zeros((24, 32, 3))
+        gt = jnp.zeros((3, 24, 32))
         step = make_train_step(render_dense, cfg, 1.0, binocular=False, use_alpha_weight=False)
         aw = jnp.zeros((24, 32))
         op_before = np.asarray(jax.nn.sigmoid(state.model.params.opacity[:20]))

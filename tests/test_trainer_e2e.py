@@ -41,7 +41,8 @@ def build_synthetic_scene(n_views=3, n_pts=80, seed=0):
         ang = (i - 1) * 0.25
         eye = [3.5 * np.sin(ang), 0.2, -3.5 * np.cos(ang)]
         cam = lookat_camera(eye, [0, 0, 0])
-        img = np.asarray(render_dense(cam, gt_model, jnp.zeros(3)).image)
+        # View.image keeps the host (H, W, 3) convention; render_dense is planar
+        img = np.asarray(render_dense(cam, gt_model, jnp.zeros(3)).image).transpose(1, 2, 0)
         views.append(View(camera=cam, image=img, alpha_mask=None, image_name=f"v{i}", colmap_id=i, uid=i))
     # noisy init point cloud
     init_pcd = PointCloud(
