@@ -16,11 +16,16 @@ integer shifts s in [min floor(d), max floor(d) + 1] can contribute, so
 The loop length adapts to the block's actual disparity range (a dynamic
 while_loop): cost is O(range * W) per block instead of O(W^2) per row —
 ~30x less work for typical binocular disparities (tens of pixels), with
-the worst case degenerating to the one-hot cost. Out-of-bounds pixels have
-both weights zeroed (reference `utils/graphics_utils.py:80-125` zero-fill),
-which also kills wrap-around lanes of the roll. The forward also emits
-diff = g1 - g0, the only residual the disparity cotangent needs
-(d_disp = sum_ch diff * d_out on valid pixels, computed in ops/warp.py).
+the worst case degenerating to the one-hot cost. Each dynamic iteration
+covers STRIDE consecutive shifts with ONE dynamic rotate plus STRIDE
+statically-unrolled sub-rolls: the per-iteration fixed cost of a Mosaic
+while_loop + dynamic_rotate measured ~1 us, which dominated when a block's
+disparity range was large (the worst case runs range/STRIDE dynamic
+iterations instead of range). Out-of-bounds pixels have both weights
+zeroed (reference `utils/graphics_utils.py:80-125` zero-fill), which also
+kills wrap-around lanes of the roll. The forward also emits diff = g1 - g0,
+the only residual the disparity cotangent needs (d_disp = sum_ch
+diff * d_out on valid pixels, computed in ops/warp.py).
 
 Images are channels-first (C, H, W); blocks are (C, R, Wp) with R = 8 rows
 (the Mosaic sublane granule) and Wp = W padded to a lane multiple of 128
@@ -40,13 +45,19 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ROWS = 8  # sublane granule
+STRIDE = 8  # shifts covered per dynamic loop iteration (static unroll)
 
 
 def _roll_lanes(x, shift, interpret: bool):
-    """roll a (C, R, Wp) block along lanes by a traced shift; hardware rolls
-    go per 2D channel plane (Mosaic dynamic_rotate is happiest on 2D)."""
+    """roll a (C, R, Wp) block along lanes by a (possibly traced) shift;
+    hardware rolls go per 2D channel plane (Mosaic dynamic_rotate is
+    happiest on 2D). Static shifts are normalized mod the lane count —
+    pltpu.roll rejects negative python ints (traced values pass through;
+    the rotate is modular either way)."""
     if interpret:
         return jnp.roll(x, shift, axis=-1)
+    if isinstance(shift, int):
+        shift = shift % x.shape[-1]
     return jnp.stack(
         [pltpu.roll(x[c], shift, axis=1) for c in range(x.shape[0])], axis=0
     )
@@ -81,13 +92,15 @@ def _fwd_kernel(disp_ref, img_ref, out_ref, diff_ref, *, W: int, interpret: bool
 
     def body(carry):
         s, acc, dif = carry
-        m0 = (x0i == s).astype(jnp.float32)
-        m1 = (x0i == s - 1).astype(jnp.float32)
-        coeff = w0 * m0 + w1 * m1  # (R, W)
-        g = _roll_lanes(img, -s, interpret)  # img[..., c + s]
-        acc = acc + coeff[None] * g
-        dif = dif + (m1 - m0)[None] * g
-        return (s + 1, acc, dif)
+        base = _roll_lanes(img, -s, interpret)  # one dynamic rotate
+        for k in range(STRIDE):  # static sub-rolls
+            g = _roll_lanes(base, -k, interpret) if k else base
+            m0 = (x0i == s + k).astype(jnp.float32)
+            m1 = (x0i == s + k - 1).astype(jnp.float32)
+            coeff = w0 * m0 + w1 * m1  # (R, W)
+            acc = acc + coeff[None] * g
+            dif = dif + (m1 - m0)[None] * g
+        return (s + STRIDE, acc, dif)
 
     def cond(carry):
         return carry[0] <= smax
@@ -111,9 +124,14 @@ def _bwd_kernel(disp_ref, dout_ref, dimg_ref, *, W: int, interpret: bool):
 
     def body(carry):
         s, acc = carry
-        coeff = w0 * (x0i == s) + w1 * (x0i == s - 1)
-        acc = acc + _roll_lanes(coeff[None] * dout, s, interpret)
-        return (s + 1, acc)
+        # roll(x, s + k) = roll(roll(x, k), s): accumulate the static
+        # sub-shift terms first, then ONE dynamic rotate for the group
+        inner = jnp.zeros_like(dout)
+        for k in range(STRIDE):
+            coeff = w0 * (x0i == s + k) + w1 * (x0i == s + k - 1)
+            inner = inner + _roll_lanes(coeff[None] * dout, k, interpret)
+        acc = acc + _roll_lanes(inner, s, interpret)
+        return (s + STRIDE, acc)
 
     def cond(carry):
         return carry[0] <= smax
