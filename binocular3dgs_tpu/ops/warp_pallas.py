@@ -45,7 +45,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ROWS = 8  # sublane granule
-STRIDE = 8  # shifts covered per dynamic loop iteration (static unroll)
+STRIDE = 16  # shifts covered per dynamic loop iteration (static unroll)
 
 
 def _roll_lanes(x, shift, interpret: bool):
