@@ -28,10 +28,24 @@ but executed as one kernel program per 16x16 tile with:
     prefix/suffix products run as triangular matmuls in log space,
     accumulation/moment reductions are dots, and "last column" extraction is
     a one-hot contraction staying in the (S, 1) orientation
-  * outputs are merged into one (T, 5, S) float block (r, g, b, depth,
-    T_final) + one (T, 1, S) int block (n_contrib) per tile
-  * the backward walks chunks in reverse from the per-tile max contributor
-    (per-tile maxima are precomputed XLA-side and scalar-prefetched),
+  * FORWARD outputs are plane-major: one (5, T, S) float block (planes
+    r, g, b, depth, T_final) + one (T, S) int block (n_contrib). The rgb/z
+    accumulator is kept LANE-major (4, S) so its output write is a direct
+    row copy — the earlier (T, 5, S) tile-major layout wrote (S, 1)
+    accumulator columns into lane-major (1, S) rows, forcing a vreg
+    transpose per output row per tile (measured: forward 8.4 -> 1.3
+    ms/frame in the chained train step at 3024 tiles on a v5e)
+  * the forward's quadratic pixel basis is built ONCE in tile-LOCAL
+    coordinates and the per-pair polynomial coefficients are shifted by the
+    tile origin ((1, C) lane math) — no per-tile (S, k) basis rebuild
+  * the BACKWARD keeps the tile-major (G, 6, S) input pipeline and per-tile
+    (1, S) -> (S, 1) input transposes: a plane-major backward with batched
+    staging transposes measured 2.5x SLOWER in the chained step (8.6 vs
+    3.4 ms/frame — see docs/planar_blend_notes.md), so the forward's plane
+    outputs are re-oriented by ONE XLA transpose (lanes preserved) in
+    blend_backward_pallas instead. It walks chunks in reverse from the
+    per-tile max contributor (per-tile maxima are precomputed XLA-side and
+    scalar-prefetched),
     reconstructing transmittance by division from T_final exactly like the
     CUDA backward; per-pair cotangents are accumulated (read-add-write DMA,
     safe because the TPU grid runs sequentially and the final write is
@@ -104,6 +118,19 @@ def _pixel_coords(tile_id, TW: int, ts: int, S: int):
     return px, py
 
 
+def _local_coords(ts: int, S: int):
+    """(S, 1) tile-LOCAL pixel u/v (tile-independent — build once)."""
+    s = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+    return (s % ts).astype(jnp.float32), (s // ts).astype(jnp.float32)
+
+
+def _tile_origin(tile_id, TW: int, ts: int):
+    """(x0, y0) float scalars of a tile's top-left pixel."""
+    tx = tile_id % TW
+    ty = tile_id // TW
+    return (tx * ts).astype(jnp.float32), (ty * ts).astype(jnp.float32)
+
+
 def _pixel_basis(px, py, S):
     """(S, 6) quadratic monomial basis [1, x, y, x^2, xy, y^2] per pixel.
 
@@ -116,14 +143,22 @@ def _pixel_basis(px, py, S):
     return jnp.concatenate([one, px, py, px * px, px * py, py * py], axis=1)
 
 
-def _power_coeffs(rec):
+def _power_coeffs(rec, x0=None, y0=None):
     """(6, C) per-pair coefficients of the quadratic exponent.
 
     power(x, y) = -0.5*ca*(x-mx)^2 - 0.5*cc*(y-my)^2 - cb*(x-mx)*(y-my)
                 = c0 + c1*x + c2*y + c3*x^2 + c4*xy + c5*y^2
+
+    With a tile origin (x0, y0), coefficients are expressed in tile-LOCAL
+    pixel coordinates by shifting the splat center — (1, C) lane math, so
+    the (S, 6) monomial basis can be built once for all tiles instead of
+    per tile (per-tile (S, k) sublane-oriented builds cost ~1 us each).
     """
     mx = rec[0:1, :]
     my = rec[1:2, :]
+    if x0 is not None:
+        mx = mx - x0
+        my = my - y0
     ca = rec[2:3, :]
     cb = rec[3:4, :]
     cc = rec[4:5, :]
@@ -136,12 +171,13 @@ def _power_coeffs(rec):
     return jnp.concatenate([c0, c1, c2, c3, c4, c5], axis=0)
 
 
-def _chunk_alpha_mxu(rec, basis, valid_lane):
+def _chunk_alpha_mxu(rec, basis, valid_lane, x0=None, y0=None):
     """alpha (S, C) for a record chunk rec (16, C); skip masks applied.
 
-    basis: (S, 6) pixel monomials; valid_lane: (1, C) pair validity.
+    basis: (S, 6) pixel monomials (tile-local when x0/y0 given);
+    valid_lane: (1, C) pair validity.
     """
-    coeffs = _power_coeffs(rec)  # (6, C) — cheap (1, C) vector math
+    coeffs = _power_coeffs(rec, x0, y0)  # (6, C) — cheap (1, C) vector math
     power = jax.lax.dot_general(
         basis, coeffs, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # (S, C) on the MXU
@@ -159,18 +195,20 @@ def _chunk_alpha_mxu(rec, basis, valid_lane):
 def _forward_tile(
     t, base_next, tile_start_ref, tile_count_ref, records_ref,
     rec_buf, dma_sem, q_ref, T_run_ref, done_ref, acc_ref, nc_ref,
+    basis, tri_x,
     *, TW: int, ts: int, C: int,
 ):
     """Blend one tile's pair segment; assumes a DMA for this tile's chunk 0
-    is already in flight (slot q % 2) and leaves one for `base_next`."""
+    is already in flight (slot q % 2) and leaves one for `base_next`.
+
+    `basis` is the tile-LOCAL (S, 6) monomial basis (shared by all tiles);
+    the tile origin is folded into the per-pair coefficients instead."""
     S = ts * ts
     seg_start = tile_start_ref[t]
     count = tile_count_ref[t]
     base = pl.multiple_of((seg_start // C) * C, C)  # chunk-aligned DMA base
     off = seg_start - base  # leading lanes of chunk 0 belong to the prior tile
-    px, py = _pixel_coords(t, TW, ts, S)
-    basis = _pixel_basis(px, py, S)  # (S, 6), hoisted out of the chunk loop
-    tri_x = _tri_strict_upper(C)
+    x0, y0 = _tile_origin(t, TW, ts)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
     n_chunks = pl.cdiv(off + count, C)
 
@@ -183,7 +221,7 @@ def _forward_tile(
 
     T_run_ref[:, :] = jnp.ones((S, 1), jnp.float32)
     done_ref[:, :] = jnp.zeros((S, 1), jnp.float32)
-    acc_ref[:, :] = jnp.zeros((S, 4), jnp.float32)
+    acc_ref[:, :] = jnp.zeros((4, S), jnp.float32)  # lane-major (rows r g b z)
     nc_ref[:, :] = jnp.zeros((S, 1), jnp.int32)
 
     def cond(carry):
@@ -207,7 +245,7 @@ def _forward_tile(
 
         k = c * C + lane1 - off  # (1, C) position within the tile's segment
         valid = (k >= 0) & (k < count)
-        alpha, _ = _chunk_alpha_mxu(rec, basis, valid)
+        alpha, _ = _chunk_alpha_mxu(rec, basis, valid, x0, y0)
         alpha = jnp.where(done > 0.5, 0.0, alpha)  # (S, 1) mask broadcast
 
         # prefix transmittance via ONE MXU contraction in log space:
@@ -224,10 +262,12 @@ def _forward_tile(
         T_before = T_run * cp_excl
         w = a_eff * T_before  # (S, C)
 
-        # acc += w @ [r g b z]^T — one MXU contraction instead of 4 masked
-        # lane reductions
+        # acc += [r g b z] @ w^T — one MXU contraction instead of 4 masked
+        # lane reductions; kept LANE-major (4, S) so the output write is a
+        # direct row copy (a (S, 4)-oriented accumulator forces per-row vreg
+        # transposes at the output, ~6.8 ms/frame measured)
         acc_ref[:, :] = acc_ref[:, :] + jax.lax.dot_general(
-            w, rec[6:10, :], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            rec[6:10, :], w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         nc_ref[:, :] = jnp.maximum(
             nc_ref[:, :], jnp.max(jnp.where(a_eff > 0.0, k + 1, 0), axis=1, keepdims=True)
@@ -259,19 +299,30 @@ def _forward_tile(
 def _forward_kernel(
     tile_start_ref, tile_count_ref,
     records_ref,  # (16, P) HBM
-    out_ref,  # (G, 5, S): r g b depth T_final per grouped tile
-    ncontrib_ref,  # (G, 1, S) int32
+    out_ref,  # (5, G, S): r g b depth T_final planes per grouped tile
+    ncontrib_ref,  # (G, S) int32
     rec_buf,  # (2, 16, C) ping-pong
     dma_sem,  # DMA sems (2,)
     q_ref,  # SMEM (1,): global DMA slot counter (persists across grid steps)
-    T_run_ref, done_ref, acc_ref, nc_ref,
+    T_run_ref, done_ref, acc_ref, nc_ref, tn_ref,
     *, TW: int, ts: int, C: int, T: int, G: int,
 ):
     """Processes G consecutive tiles per grid step — the per-step grid
     machinery (output block DMA, prologue/epilogue) measured ~2.6 us/tile at
-    G=1 on a v5e, dwarfing the ~1 us of per-tile compute."""
+    G=1 on a v5e, dwarfing the ~1 us of per-tile compute.
+
+    Orientation discipline (measured ~6.8 ms/frame when violated): the rgb/z
+    accumulator is LANE-major (4, S) so its output write is a row copy; the
+    (S, 1)-oriented T_run and n_contrib columns are staged into (S, 2G)
+    scratch and transposed ONCE per grid step instead of once per tile; the
+    (5, T, S) output layout keeps S on the lane axis so the XLA side never
+    pads a tiny trailing dim to 128 lanes."""
     step = pl.program_id(0)
     t0 = step * G
+    S = ts * ts
+    u, v = _local_coords(ts, S)
+    basis = _pixel_basis(u, v, S)  # tile-local: shared by every tile
+    tri_x = _tri_strict_upper(C)
 
     # warmup: the very first grid step issues tile 0's chunk-0 fetch; every
     # later tile finds its own already in flight (issued by its predecessor)
@@ -290,15 +341,16 @@ def _forward_kernel(
         _forward_tile(
             t, base_next, tile_start_ref, tile_count_ref, records_ref,
             rec_buf, dma_sem, q_ref, T_run_ref, done_ref, acc_ref, nc_ref,
+            basis, tri_x,
             TW=TW, ts=ts, C=C,
         )
-        acc = acc_ref[:, :]
-        out_ref[g, 0, :] = acc[:, 0]
-        out_ref[g, 1, :] = acc[:, 1]
-        out_ref[g, 2, :] = acc[:, 2]
-        out_ref[g, 3, :] = acc[:, 3]
-        out_ref[g, 4, :] = T_run_ref[:, 0]
-        ncontrib_ref[g, 0, :] = nc_ref[:, 0]
+        out_ref[0:4, g, :] = acc_ref[:, :]
+        tn_ref[:, g : g + 1] = T_run_ref[:, :]
+        tn_ref[:, G + g : G + g + 1] = nc_ref[:, :].astype(jnp.float32)
+    # one batched (S, 2G) -> (2G, S) transpose per grid step
+    tn_t = jnp.transpose(tn_ref[:, :], (1, 0))
+    out_ref[4, :, :] = tn_t[0:G, :]
+    ncontrib_ref[:, :] = tn_t[G : 2 * G, :].astype(jnp.int32)
 
     # last step: drain the final in-flight DMA before the kernel ends
     @pl.when(t0 + G >= T)
@@ -341,8 +393,8 @@ def blend_forward_pallas(
         grid=(T_pad // G,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=[
-            pl.BlockSpec((G, 5, S), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 1, S), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, G, S), lambda i, *_: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, S), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, REC_ROWS, chunk), jnp.float32),  # ping-pong rec_buf
@@ -350,13 +402,14 @@ def blend_forward_pallas(
             pltpu.SMEM((1,), jnp.int32),  # global slot counter
             pltpu.VMEM((S, 1), jnp.float32),  # T_run
             pltpu.VMEM((S, 1), jnp.float32),  # done
-            pltpu.VMEM((S, 4), jnp.float32),  # rgb + depth accumulators
+            pltpu.VMEM((4, S), jnp.float32),  # rgb + depth accumulators (lane-major)
             pltpu.VMEM((S, 1), jnp.int32),  # n_contrib
+            pltpu.VMEM((S, 2 * G), jnp.float32),  # staged T_final | nc columns
         ],
     )
     out_shape = [
-        jax.ShapeDtypeStruct((T_pad, 5, S), jnp.float32),
-        jax.ShapeDtypeStruct((T_pad, 1, S), jnp.int32),
+        jax.ShapeDtypeStruct((5, T_pad, S), jnp.float32),
+        jax.ShapeDtypeStruct((T_pad, S), jnp.int32),
     ]
     out5, nc = pl.pallas_call(
         kernel,
@@ -364,8 +417,8 @@ def blend_forward_pallas(
         out_shape=out_shape,
         interpret=interpret,
     )(tile_start, tile_count, records)
-    # raw kernel layout: (T, 5, S) rows r g b depth T_final + (T, S) int32
-    return out5[:T], nc[:T, 0]
+    # raw kernel layout: (5, T, S) planes r g b depth T_final + (T, S) int32
+    return out5[:, :T], nc[:T]
 
 
 # ---------------------------------------------------------------------------
@@ -585,9 +638,9 @@ def blend_backward_pallas(
     records,  # (16, P)
     tile_start,
     tile_count,
-    out5,  # (T, 5, S) forward output (row 4 = T_final)
+    out5,  # (5, T, S) forward output planes (plane 4 = T_final)
     n_contrib,  # (T, S) int32
-    d_out5,  # (T, 5, S) cotangents of the forward output
+    d_out5,  # (5, T, S) cotangents of the forward output
     TW: int,
     TH: int,
     ts: int,
@@ -602,8 +655,12 @@ def blend_backward_pallas(
     T_pad = -(-T // G) * G
 
     nc_max = jnp.max(n_contrib, axis=1).astype(jnp.int32)  # (T,) scalar-prefetched
-    # (T, 6, S): T_final then d_r d_g d_b d_dep d_Tfin — one concat, no stacks
-    g6 = jnp.concatenate([out5[:, 4:5, :], d_out5], axis=1)
+    # (T, 6, S): T_final then d_r d_g d_b d_dep d_Tfin. The forward emits
+    # plane-major (5, T, S) (its fast write orientation); this one XLA
+    # transpose (lanes preserved — S stays minor) feeds the backward's
+    # tile-major input pipeline, which measured faster than a plane-major
+    # in-kernel staging variant (see docs/planar_blend_notes.md).
+    g6 = jnp.transpose(jnp.concatenate([out5[4:5], d_out5], axis=0), (1, 0, 2))
     nc3 = n_contrib[:, None, :]
     if T_pad != T:
         pad = T_pad - T

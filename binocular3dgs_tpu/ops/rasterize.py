@@ -81,9 +81,10 @@ _blend.defvjp(_blend_fwd, _blend_bwd)
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def _blend_records_pallas(records, tile_start, tile_count, TW, TH, ts, chunk, interpret, group):
-    """Returns the raw merged (T, 5, S) kernel output block (rows r g b depth
-    T_final); callers slice/transpose it with plain XLA ops so the custom VJP
-    sees one (T, 5, S) cotangent, matching blend_backward_pallas's d_out5."""
+    """Returns the raw merged (5, T, S) kernel output planes (r g b depth
+    T_final); callers slice/reshape it with plain XLA ops so the custom VJP
+    sees one (5, T, S) cotangent, matching blend_backward_pallas's
+    d_out5."""
     from .blend_pallas import blend_forward_pallas
 
     out5, _ = blend_forward_pallas(
@@ -247,14 +248,14 @@ def _build_fields(proj, mean2d):
 
 
 def _tiles_to_planes(tiles: jnp.ndarray, TW: int, TH: int, ts: int, H: int, W: int):
-    """(T, K, S) per-tile channel blocks -> (K, H, W) planar image crop.
+    """(K, T, S) per-tile channel planes -> (K, H, W) planar image crop.
 
-    Planar (channels-first) on purpose: a (H, W, K) result with K=3/5 would
-    get the TPU T(8,128) tiled layout on its trailing dims, padding K to 128
-    lanes (42x memory blowup on every downstream image op)."""
-    K = tiles.shape[1]
-    x = tiles.reshape(TH, TW, K, ts, ts)
-    x = jnp.transpose(x, (2, 0, 3, 1, 4)).reshape(K, TH * ts, TW * ts)
+    Planar (channels-first) everywhere on purpose: any array with a tiny
+    trailing dim (3/5/6) gets the TPU T(8,128) tiled layout padded to 128
+    lanes (up to 42x memory blowup on every op touching it)."""
+    K = tiles.shape[0]
+    x = tiles.reshape(K, TH, TW, ts, ts)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4)).reshape(K, TH * ts, TW * ts)
     return x[:, :H, :W]
 
 
@@ -358,7 +359,7 @@ def rasterize_projected(
         out5 = _blend_records_pallas(
             records, binning.tile_start, binning.tile_count, TW, rows, ts, chunk,
             interpret, raster.pallas_tile_group,
-        )  # (T, 5, S): rows r g b depth T_final
+        )  # (5, T, S): planes r g b depth T_final
     else:
         pair_gauss = binning.order[binning.pair_gauss]  # back to caller index space
         inputs = BlendInputs(
@@ -374,8 +375,7 @@ def rasterize_projected(
             TW, rows, ts, mpt, raster.chunk,
         )
         out5 = jnp.concatenate(
-            [jnp.transpose(rgb_t, (0, 2, 1)), dep_t[:, None, :], T_final_t[:, None, :]],
-            axis=1,
+            [jnp.moveaxis(rgb_t, 2, 0), dep_t[None], T_final_t[None]], axis=0
         )
     crop_h = rows * ts if band else H
     planes = _tiles_to_planes(out5, TW, rows, ts, crop_h, W)  # (5, h, W)
