@@ -89,13 +89,25 @@ def _bits(n: int) -> int:
     return max(int(n).bit_length(), 1)
 
 
-def _segment_fill(values: jnp.ndarray, offsets: jnp.ndarray, pair_capacity: int):
-    """Scatter `values[g]` at pair slot `offsets[g]`, then forward-fill each
-    segment with a cumulative max. Correct as long as values are monotone
-    non-decreasing in g (rank bits live in the high bits to guarantee it);
-    zero-length segments collide at the next segment's offset and lose the
-    max (their rank is smaller), which is exactly the right winner."""
-    a = jnp.zeros(pair_capacity, jnp.int32).at[offsets].max(values, mode="drop")
+def _segment_fill(
+    values: jnp.ndarray, offsets: jnp.ndarray, count: jnp.ndarray, pair_capacity: int
+):
+    """Scatter `values[g]` at pair slot `offsets[g]` for emitting gaussians
+    (count > 0), then forward-fill each segment with a cumulative max.
+    Correct as long as values are monotone non-decreasing in g (rank bits
+    live in the high bits to guarantee it).
+
+    Zero-count gaussians are routed to UNIQUE out-of-bounds slots (dropped)
+    instead of colliding at the next segment's offset: in-bounds offsets of
+    emitters are strictly increasing, so every index is unique and the
+    scatter lowers to XLA's fast unique-indices path — measured 1.06 ->
+    0.05 ms per fill at N=100k/P=600k on a v5e vs the general scatter-max
+    (scripts/probe_segfill.py)."""
+    g = jnp.arange(values.shape[0], dtype=jnp.int32)
+    idx = jnp.where(count > 0, offsets, pair_capacity + g)
+    a = jnp.zeros(pair_capacity, jnp.int32).at[idx].set(
+        values, mode="drop", unique_indices=True
+    )
     return jax.lax.cummax(a, axis=0)
 
 
@@ -148,12 +160,9 @@ def bin_gaussians(
     if packed_ok:
         g_ids = jnp.arange(n, dtype=jnp.int32)
         w1 = (g_ids << (bx + by)) | (tmin_x << by) | tmin_y
-        # span_x rides in the offsets word: colliding zero-count gaussians
-        # scatter sx=0, so the max at a shared offset still belongs to the
-        # emitting gaussian (the only collider with count > 0)
-        w2 = (offsets << bx) | jnp.where(count > 0, span_x, 0)
-        a1 = _segment_fill(w1, offsets, pair_capacity)
-        a2 = _segment_fill(w2, offsets, pair_capacity)
+        w2 = (offsets << bx) | span_x
+        a1 = _segment_fill(w1, offsets, count, pair_capacity)
+        a2 = _segment_fill(w2, offsets, count, pair_capacity)
 
         g = a1 >> (bx + by)
         tx0 = (a1 >> by) & ((1 << bx) - 1)

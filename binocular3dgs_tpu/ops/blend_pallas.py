@@ -75,6 +75,9 @@ ALPHA_MIN = 1.0 / 255.0
 T_MIN = 1e-4
 ALPHA_CLAMP = 0.99
 REC_ROWS = 16
+LIVE_ROWS = 10  # rows 0..9 carry data; 10..15 are alignment padding
+# (Mosaic requires sublane slices aligned to 8, so DMA streams move the
+# full 16-row table; LIVE_ROWS only bounds the compute)
 
 
 def _tri_strict_upper(C):
@@ -428,7 +431,7 @@ def blend_forward_pallas(
 
 def _backward_tile(
     t, g, tile_start_ref, tile_count_ref, nc_max_ref,
-    records_ref, g6_ref, ncontrib_ref, d_records_ref,
+    records_ref, g7_ref, d_records_ref,
     rec_buf, acc_buf, drec_buf,
     rec_sem, acc_sem, out_sem,
     T_run_ref, suf_ref,
@@ -444,15 +447,15 @@ def _backward_tile(
     tri_s = _tri_lower_incl(C)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
 
-    # per-tile pixel vectors, transposed once into the (S, 1) orientation
-    T_final = jnp.transpose(g6_ref[g, 0:1, :], (1, 0))  # (S, 1)
-    d_r = jnp.transpose(g6_ref[g, 1:2, :], (1, 0))
-    d_g = jnp.transpose(g6_ref[g, 2:3, :], (1, 0))
-    d_b = jnp.transpose(g6_ref[g, 3:4, :], (1, 0))
-    d_dep = jnp.transpose(g6_ref[g, 4:5, :], (1, 0))
-    d_tf = jnp.transpose(g6_ref[g, 5:6, :], (1, 0))
-    n_contrib = jnp.transpose(ncontrib_ref[g, :, :], (1, 0))
-    D4 = jnp.concatenate([d_r, d_g, d_b, d_dep], axis=1)  # (S, 4)
+    # per-tile pixel vectors: ONE (7, S) -> (S, 7) transpose per tile (the
+    # seven separate (1, S) -> (S, 1) column transposes this replaces cost
+    # ~0.4 us/tile extra on a v5e); field order T_final, d_r, d_g, d_b,
+    # d_dep, d_Tfin, n_contrib(as f32)
+    sc = jnp.transpose(g7_ref[g, :, :], (1, 0))  # (S, 7)
+    T_final = sc[:, 0:1]
+    D4 = sc[:, 1:5]  # d_r d_g d_b d_dep
+    d_tf = sc[:, 5:6]
+    n_contrib = sc[:, 6:7].astype(jnp.int32)
     tfd = d_tf * T_final  # (S, 1)
 
     n_chunks = pl.cdiv(off + jnp.minimum(nc_max_ref[t], count), C)
@@ -521,12 +524,11 @@ def _backward_tile(
 
         # r = the d_out-weighted color response; the reference backward's
         # four per-channel suffix sums collapse into ONE by linearity
-        # (d_r/d_g/d_b/d_dep are constants along the pair axis)
-        r = (
-            rec[6:7, :] * d_r
-            + rec[7:8, :] * d_g
-            + rec[8:9, :] * d_b
-            + rec[9:10, :] * d_dep
+        # (d_r/d_g/d_b/d_dep are constants along the pair axis) — and the
+        # 4-term broadcast chain is one (S, 4) @ (4, C) MXU contraction
+        r = jax.lax.dot_general(
+            D4, rec[6:10, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )  # (S, C)
         q = w * r
         suf_q = _dot_lanes(q, tri_s)  # inclusive suffix sum (MXU)
@@ -569,7 +571,7 @@ def _backward_tile(
         zero_row = jnp.zeros((1, C), jnp.float32)
         drec = jnp.concatenate(
             [d_mx, d_my, d_ca, d_cb, d_cc, d_op, dcol]
-            + [zero_row] * (REC_ROWS - 10),
+            + [zero_row] * (REC_ROWS - LIVE_ROWS),
             axis=0,
         )
         # accumulate-write: out-of-segment lanes contribute exactly 0 (a = 0
@@ -610,13 +612,12 @@ def _backward_tile(
 def _backward_kernel(
     tile_start_ref, tile_count_ref, nc_max_ref,
     records_ref,  # (16, P) HBM
-    g6_ref,  # (G, 6, S): T_final, d_r, d_g, d_b, d_dep, d_Tfin
-    ncontrib_ref,  # (G, 1, S) int32
+    g7_ref,  # (G, 7, S): T_final, d_r, d_g, d_b, d_dep, d_Tfin, n_contrib
     zeros_ref,  # (16, P) HBM — aliased to the output (pre-zeroed)
     d_records_ref,  # (16, P) HBM (aliased)
-    rec_buf,  # (2, 16, C)
-    acc_buf,  # (2, 16, C)
-    drec_buf,  # (2, 16, C)
+    rec_buf,  # (2, 10, C)
+    acc_buf,  # (2, 10, C)
+    drec_buf,  # (2, 10, C)
     rec_sem, acc_sem, out_sem,
     T_run_ref, suf_ref,
     *, TW: int, ts: int, C: int, G: int,
@@ -625,7 +626,7 @@ def _backward_kernel(
     for g in range(G):
         _backward_tile(
             step * G + g, g, tile_start_ref, tile_count_ref, nc_max_ref,
-            records_ref, g6_ref, ncontrib_ref, d_records_ref,
+            records_ref, g7_ref, d_records_ref,
             rec_buf, acc_buf, drec_buf, rec_sem, acc_sem, out_sem,
             T_run_ref, suf_ref, TW=TW, ts=ts, C=C,
         )
@@ -655,20 +656,25 @@ def blend_backward_pallas(
     T_pad = -(-T // G) * G
 
     nc_max = jnp.max(n_contrib, axis=1).astype(jnp.int32)  # (T,) scalar-prefetched
-    # (T, 6, S): T_final then d_r d_g d_b d_dep d_Tfin. The forward emits
-    # plane-major (5, T, S) (its fast write orientation); this one XLA
-    # transpose (lanes preserved — S stays minor) feeds the backward's
-    # tile-major input pipeline, which measured faster than a plane-major
-    # in-kernel staging variant (see docs/planar_blend_notes.md).
-    g6 = jnp.transpose(jnp.concatenate([out5[4:5], d_out5], axis=0), (1, 0, 2))
-    nc3 = n_contrib[:, None, :]
+    # (T, 7, S): T_final then d_r d_g d_b d_dep d_Tfin then n_contrib(f32).
+    # The forward emits plane-major (5, T, S) (its fast write orientation);
+    # this one XLA transpose (lanes preserved — S stays minor) feeds the
+    # backward's tile-major input pipeline, which measured faster than a
+    # plane-major in-kernel staging variant (docs/planar_blend_notes.md).
+    # n_contrib rides as a float plane so the kernel does ONE (7, S) ->
+    # (S, 7) transpose per tile instead of seven column transposes.
+    g7 = jnp.transpose(
+        jnp.concatenate(
+            [out5[4:5], d_out5, n_contrib.astype(jnp.float32)[None]], axis=0
+        ),
+        (1, 0, 2),
+    )
     if T_pad != T:
         pad = T_pad - T
         tile_start = jnp.concatenate([tile_start, jnp.zeros(pad, jnp.int32)])
         tile_count = jnp.concatenate([tile_count, jnp.zeros(pad, jnp.int32)])
         nc_max = jnp.concatenate([nc_max, jnp.zeros(pad, jnp.int32)])
-        g6 = jnp.concatenate([g6, jnp.zeros((pad, 6, S), jnp.float32)])
-        nc3 = jnp.concatenate([nc3, jnp.zeros((pad, 1, S), jnp.int32)])
+        g7 = jnp.concatenate([g7, jnp.zeros((pad, 7, S), jnp.float32)])
 
     kernel = functools.partial(_backward_kernel, TW=TW, ts=ts, C=chunk, G=G)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -676,8 +682,7 @@ def blend_backward_pallas(
         grid=(T_pad // G,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # records
-            pl.BlockSpec((G, 6, S), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 1, S), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 7, S), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),  # zeros (aliased to output)
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
@@ -697,12 +702,12 @@ def blend_backward_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((REC_ROWS, P), jnp.float32),
-        input_output_aliases={6: 0},  # zeros input (after 3 scalar-prefetch args)
+        input_output_aliases={5: 0},  # zeros input (after 3 scalar-prefetch args)
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(
         tile_start, tile_count, nc_max, records,
-        g6, nc3,
+        g7,
         zeros,
     )
     return d_records
