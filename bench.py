@@ -183,6 +183,15 @@ def main():
     useful_flops = avg_pairs * ts * ts * 60 * 2 * 3
     mfu = useful_flops * iters_per_s / 197e12 if on_tpu else 0.0
 
+    # stage-level device-time attribution of one chained step (xplane trace,
+    # same methodology as scripts/probe_chain_trace.py)
+    breakdown = {}
+    if on_tpu:
+        try:
+            breakdown = _stage_breakdown(run_steps, state0)
+        except Exception as e:
+            breakdown = {"error": str(e)[:200]}
+
     # device-count scaling (BASELINE.md: pixels/s at 1 chip / 1 host / >=2
     # hosts). This container exposes ONE real TPU chip; n>1 points come from
     # the sharded train step on a virtual CPU mesh run in a subprocess (a
@@ -223,10 +232,81 @@ def main():
                 "render_fwd_ms": round(render_s * 1000, 2),
                 "step_ms": round(sec_per_iter * 1000, 2),
                 "blend_mfu_estimate": round(mfu, 5),
+                "stage_breakdown_ms": breakdown,
                 "scaling": scaling,
             }
         )
     )
+
+
+def _stage_breakdown(run_steps, state0, steps=8):
+    """Per-stage device-time attribution (ms/step) of the chained train step
+    from an xplane trace. Stages are classified by the HLO op's source file
+    + fwd/bwd direction (the `transpose(jvp(...))` marker in tf_op)."""
+    import collections
+    import glob
+    import gzip
+    import tempfile
+
+    import jax
+
+    float(run_steps(state0, 1))  # warm
+    d = tempfile.mkdtemp(prefix="benchtrace_")
+    jax.profiler.start_trace(d)
+    float(run_steps(state0, steps))
+    jax.profiler.stop_trace()
+    (path,) = glob.glob(f"{d}/**/*.trace.json.gz", recursive=True)
+    with gzip.open(path) as f:
+        data = json.load(f)
+    ev = data.get("traceEvents", [])
+    device_pids = {
+        e["pid"] for e in ev
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+        and "TPU" in str(e.get("args", {}).get("name", ""))
+    }
+    agg = collections.Counter()
+    envelope = 0.0
+    for e in ev:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        name, args = e["name"], e.get("args") or {}
+        dur = e.get("dur", 0)
+        if name.startswith("jit_"):
+            continue
+        src = str(args.get("source", ""))
+        tf_op = str(args.get("tf_op", ""))
+        if name.isdigit():  # per-step counter pseudo-events, not ops
+            continue
+        if name.startswith("while.") and "bench.py" in src:
+            envelope = max(envelope, dur / steps)  # the fori_loop wrapper
+            continue
+        bwd = "transpose(jvp" in tf_op
+        if "blend_pallas" in src or "blend_forward" in name or "blend_backward" in name:
+            key = "blend_bwd" if ("blend_backward" in name or bwd) else "blend_fwd"
+        elif "warp" in src or "warp" in name:
+            key = "warp_bwd" if bwd else "warp_fwd"
+        elif "rasterize.py" in src and "sort" in name:
+            key = "grad_pair_sort"
+        elif "rasterize.py" in src and bwd:
+            key = "grad_segment_sum"
+        elif "rasterize.py" in src:
+            key = "record_gather"
+        elif "binning.py" in src:
+            key = "binning"
+        elif "losses.py" in src or "reduce-window" in name:
+            key = "losses"
+        elif "project.py" in src:
+            key = "vertex"
+        elif "state.py" in src or "step.py" in src:
+            key = "adam_losses_misc"
+        else:
+            key = "other"
+        agg[key] += dur
+    out = {k: round(v / steps / 1000, 3) for k, v in agg.most_common()}
+    out["total_attributed"] = round(sum(agg.values()) / steps / 1000, 3)
+    if envelope:
+        out["step_envelope"] = round(envelope / 1000, 3)
+    return out
 
 
 def cpu_mesh_smoke():

@@ -58,6 +58,23 @@ Record rows: 0:mx 1:my 2:conic_a 3:conic_b 4:conic_c 5:opacity
 lives in ops/rasterize.py; gradients flow through the XLA-side gathers that
 build the records, so the kernels only produce d_records.
 
+ROOFLINE (v5e-1, 100k gaussians, 1008x756, 600k pair capacity, 3024 tiles,
+measured 2026-08-21 in the chained train step): forward 1.3 ms/frame,
+backward 2.2 ms/frame. Neither is HBM-bandwidth bound: the forward streams
+~57 MB (records read + outputs) = 0.07 ms at the 819 GB/s HBM roofline; the
+backward's three streams (records + d_records read-add-write) total
+~115 MB = 0.14 ms. Both kernels are PER-TILE FIXED-COST bound — DMA issue
+latency, per-tile staging/transposes, and the ~2-chunk-deep while loop give
+~0.4 us/tile forward and ~0.7 us/tile backward of overhead that dwarfs the
+~0.1 us/tile of HBM time. Implied ceiling if per-tile overhead were fully
+amortized: ~0.2 ms/frame fwd+bwd combined, i.e. the remaining lever is
+fewer/larger tiles or batching multiple tiles per inner iteration, not
+arithmetic (the VPU/MXU work is already matmul-packed and far from the 197
+TFLOP/s roofline by construction — a gather/blend kernel has ~60 useful
+FLOPs per pair-pixel). At the current 3.5 ms/frame combined, the blend is
+no longer the train step's bottleneck (see BENCH stage_breakdown_ms:
+binning + pair-gather VJP cost ~2x more).
+
 Behavior contract: the CUDA renderCUDA forward/backward pair (SURVEY.md
 §3.5, reference consumer `gaussian_renderer/__init__.py:85-93`).
 """
