@@ -310,9 +310,22 @@ def _stage_breakdown(run_steps, state0, steps=8):
 
 
 def cpu_mesh_smoke():
-    """Sharded binocular train step on virtual CPU meshes (n=1 vs n=8):
-    prints one JSON line with per-n step times and a parity check. Run in a
-    subprocess: it must pin JAX to the CPU platform before first device use."""
+    """Sharded binocular train step on virtual CPU meshes: prints one JSON
+    line with the full n=1/2/4/8 step-time curve, a parity check, and a
+    shard_gaussians+shard_adam on/off comparison at n=8. Run in a
+    subprocess: it must pin JAX to the CPU platform before first device use.
+
+    HONESTY NOTE (recorded in the JSON as host_cores): this container has
+    2 physical cores, so 8 virtual devices are 4x oversubscribed — the
+    curve can never show >2x speedup and is a correctness + sharding-
+    overhead signal, NOT a scaling measurement. A one-off compute-bound
+    curve (256x256, 8k gaussians) measured 2026-08-21 gave flat
+    12.2/12.8/12.6/12.7 s/step at n=1/2/4/8 (speedup 0.96x — cores, not
+    devices, are the limit) and is recorded in README "Parallelism notes";
+    the live smoke uses a small shape so the driver bench finishes. Real
+    scaling numbers require real multi-chip hardware, which this container
+    does not have (BASELINE.md scaling row; see tests/test_multihost.py
+    for the multi-process/DCN-analog parity check)."""
     import os
 
     flags = os.environ.get("XLA_FLAGS", "")
@@ -333,18 +346,25 @@ def cpu_mesh_smoke():
     cfg = Config()
     cfg.raster.backend = "xla"
     cfg.raster.pairs_per_gaussian = 8
-    cfg.raster.max_pairs_per_tile = 256
-    cfg.raster.chunk = 16
+    cfg.raster.max_pairs_per_tile = 1024
+    cfg.raster.chunk = 32
     state0 = init_train_state(model)
     aw = jnp.zeros((height, width), jnp.float32)
     bg = jnp.zeros(3)
 
-    result = {"ok": True, "pixels": width * height}
+    import os as _os
+
+    result = {
+        "ok": True, "pixels": width * height, "gaussians": n,
+        "host_cores": _os.cpu_count(),
+    }
     losses = {}
-    for ndev in (1, 8):
+
+    def timed_step(ndev, shard_gaussians=False, shard_adam=False):
         mesh = make_mesh(ndev)
         step = make_sharded_train_step(
-            cfg, mesh, width, height, spatial_lr_scale=1.0, binocular=True
+            cfg, mesh, width, height, spatial_lr_scale=1.0, binocular=True,
+            shard_gaussians=shard_gaussians, shard_adam=shard_adam,
         )
 
         @jax.jit
@@ -359,12 +379,21 @@ def cpu_mesh_smoke():
             _, m = step(st, cam, gt, aw, jnp.int32(99), jax.random.PRNGKey(1), bg)
             return m.loss
 
-        losses[ndev] = float(run_steps(state0, 3))
+        loss = float(run_steps(state0, 2))
         t0 = time.perf_counter(); float(run_steps(state0, 1)); t1 = time.perf_counter() - t0
-        t0 = time.perf_counter(); float(run_steps(state0, 6)); t6 = time.perf_counter() - t0
-        result[f"n{ndev}_step_ms"] = round((t6 - t1) / 5 * 1000, 1)
-    # same data, same seeds -> the sharded result must match 1-device
-    result["loss_parity"] = abs(losses[1] - losses[8]) < 1e-4
+        t0 = time.perf_counter(); float(run_steps(state0, 4)); t4 = time.perf_counter() - t0
+        return loss, round((t4 - t1) / 3 * 1000, 1)
+
+    for ndev in (1, 2, 4, 8):
+        losses[ndev], result[f"n{ndev}_step_ms"] = timed_step(ndev)
+    # same data, same seeds -> every sharded result must match 1-device
+    result["loss_parity"] = all(
+        abs(losses[k] - losses[1]) < 1e-3 for k in losses
+    )
+    result["speedup_n8"] = round(result["n1_step_ms"] / result["n8_step_ms"], 2)
+    # gaussian-axis vertex sharding + sharded Adam state at n=8: the
+    # measured on/off comparison the README crossover note cites
+    _, result["n8_shardg_step_ms"] = timed_step(8, shard_gaussians=True, shard_adam=True)
     result["ok"] = bool(result["loss_parity"])
     print(json.dumps(result))
 

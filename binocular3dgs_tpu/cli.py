@@ -385,11 +385,28 @@ COMMANDS = {
 }
 
 
+def _enable_compile_cache():
+    """Persistent XLA-executable cache shared with bench.py: capacity-growth
+    re-jits of the fused train span cost minutes each over the remote-TPU
+    tunnel; caching makes repeat runs (and repeat growth shapes) instant."""
+    import jax
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax: cache is an optimization only
+
+
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] not in COMMANDS:
         print(f"usage: python -m binocular3dgs_tpu.cli {{{','.join(COMMANDS)}}} ...")
         return 1
+    _enable_compile_cache()
     return COMMANDS[argv[0]](argv[1:])
 
 

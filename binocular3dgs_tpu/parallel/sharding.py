@@ -63,10 +63,11 @@ def make_sharded_render(
     capacity/ndev primitives, then the (13-float) projected outputs are
     all-gathered over ICI for band-local binning+blend. The all-gather
     transpose (psum_scatter of projection cotangents) keeps gradients exact.
-    Projection is O(N) VPU work (~1 ms at 100k on a v5e), so this pays off
-    only at primitive counts where vertex work rivals the blend — measured
-    crossover is recorded in README; the pixel-band blend sharding is
-    unchanged either way."""
+    Projection is O(N) VPU work (~0.6 ms of the ~31 ms step at 100k on a
+    v5e, BENCH_r05 stage_breakdown_ms), so this pays off only at primitive
+    counts (~1M+) where vertex work rivals the blend — see README
+    "Parallelism notes" and the bench's `n8_shardg_step_ms` on/off
+    comparison; the pixel-band blend sharding is unchanged either way."""
     raster = raster or RasterConfig()
     ts = raster.tile_size
     TW, TH = tile_grid(width, height, ts)
@@ -173,14 +174,29 @@ def make_sharded_train_step(
     use_alpha_weight: bool = False,
     axis: str = "tile",
     shard_gaussians: bool = False,
+    shard_adam: bool = False,
 ):
-    """The full jit'd train step with the rasterizer sharded over the mesh."""
+    """The full jit'd train step with the rasterizer sharded over the mesh.
+
+    `shard_adam=True` partitions the Adam moments along the gaussian axis
+    (SURVEY.md §2.4 table, last row): each device stores and updates only
+    capacity/ndev of the 2x23-float/gaussian optimizer state; the parameter
+    update's all-gather is inserted by XLA. Bit-exact vs replicated."""
+    from jax.sharding import NamedSharding
+
     from ..train.step import make_train_step
 
     render_fn = make_sharded_render(
         mesh, width, height, cfg.raster, axis, shard_gaussians=shard_gaussians
     )
+    opt_state_sharding = None
+    if shard_adam:
+        def opt_state_sharding(x):
+            spec = P(axis, *([None] * (x.ndim - 1)))
+            return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
     return make_train_step(
         render_fn, cfg, spatial_lr_scale,
         binocular=binocular, use_alpha_weight=use_alpha_weight,
+        opt_state_sharding=opt_state_sharding,
     )

@@ -123,8 +123,17 @@ def make_train_step(
     spatial_lr_scale: float,
     binocular: bool,
     use_alpha_weight: bool,
+    opt_state_sharding=None,
 ):
-    """Build a jit'd train step. Static: config values, binocular flag."""
+    """Build a jit'd train step. Static: config values, binocular flag.
+
+    `opt_state_sharding`: optional callable applied (per-leaf) to the updated
+    Adam moments — pass a `with_sharding_constraint` to partition the
+    optimizer state along the gaussian axis (SURVEY.md §2.4, last row): the
+    moment update then computes sharded and the state STAYS sharded across
+    steps (jit propagates output shardings), while the parameter update's
+    all-gather is inserted by XLA. Bit-exact vs replicated (elementwise math
+    + exact collectives) — asserted by tests/test_parallel.py."""
     from ..train.state import xyz_lr_fn
 
     opt = cfg.opt
@@ -200,6 +209,10 @@ def make_train_step(
             group_lrs(opt, xyz_lr(iteration)),
             model.active,
         )
+
+        if opt_state_sharding is not None:
+            new_m = jax.tree.map(opt_state_sharding, new_m)
+            new_v = jax.tree.map(opt_state_sharding, new_v)
 
         new_state = state.replace(
             model=model.replace(params=new_params),

@@ -27,6 +27,17 @@ os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent XLA-executable cache: the fast lane is dominated by CPU jit
+# compiles of tiny test shapes; caching them across runs cuts repeat lane
+# wall-clock by ~5x (first/cold run still compiles).
+_cache_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_tests"
+)
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass  # older jax: cache is an optimization only
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

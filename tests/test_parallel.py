@@ -38,6 +38,8 @@ class TestShardedRender:
         np.testing.assert_allclose(out_s.alpha, out_1.alpha, atol=1e-5)
         np.testing.assert_allclose(out_s.radii, out_1.radii)
 
+    @pytest.mark.slow  # ~3 min/param on CPU: grad through the all-gathered
+    # vertex stage compiles a second full backward per device count
     @pytest.mark.parametrize("ndev", [2, 8])
     def test_gaussian_shard_matches_single_device(self, ndev):
         """Gaussian-axis vertex sharding (SURVEY §2.4): project N/ndev per
@@ -158,3 +160,44 @@ class TestShardedTrainStep:
         np.testing.assert_allclose(
             np.asarray(s8.grad_accum), np.asarray(s1.grad_accum), atol=1e-4
         )
+
+    @pytest.mark.slow
+    def test_sharded_adam_matches_replicated(self):
+        """SURVEY §2.4 last row: Adam moments partitioned along the gaussian
+        axis (shard_adam=True) must be bit-compatible with the replicated
+        optimizer — same losses, params, and moments over multiple steps,
+        while the moment arrays actually live sharded on the mesh."""
+        cfg = Config()
+        cfg.raster = RASTER
+        cfg.opt.densify_from_iter = 10_000
+        m = random_scene(seed=9, n=40, cap=64)  # cap divisible by 8
+        cam = camera()
+        gt = jnp.asarray(np.random.default_rng(5).random((3, H, W)).astype(np.float32))
+        aw = jnp.zeros((H, W))
+        key = jax.random.PRNGKey(0)
+        mesh = make_mesh(8)
+
+        step_rep = make_sharded_train_step(cfg, mesh, W, H, 1.0, binocular=True)
+        step_sha = make_sharded_train_step(
+            cfg, mesh, W, H, 1.0, binocular=True, shard_adam=True
+        )
+
+        sr = ss = init_train_state(m)
+        for it in range(1, 4):
+            sr, mr = step_rep(sr, cam, gt, aw, jnp.int32(it), key, jnp.zeros(3))
+            ss, ms = step_sha(ss, cam, gt, aw, jnp.int32(it), key, jnp.zeros(3))
+            np.testing.assert_allclose(float(ms.loss), float(mr.loss), rtol=1e-6)
+
+        # the sharded state's moments are actually partitioned over the mesh
+        sh = ss.adam_m.xyz.sharding
+        assert not sh.is_fully_replicated, sh
+        for name in ("xyz", "f_dc", "opacity", "scaling", "rotation"):
+            a = np.asarray(getattr(sr.model.params, name))
+            b = np.asarray(getattr(ss.model.params, name))
+            np.testing.assert_allclose(b, a, atol=1e-6, err_msg=name)
+            am = np.asarray(getattr(sr.adam_m, name))
+            bm = np.asarray(getattr(ss.adam_m, name))
+            np.testing.assert_allclose(bm, am, atol=1e-6, err_msg="m:" + name)
+            av = np.asarray(getattr(sr.adam_v, name))
+            bv = np.asarray(getattr(ss.adam_v, name))
+            np.testing.assert_allclose(bv, av, atol=1e-9, err_msg="v:" + name)

@@ -170,6 +170,7 @@ def ref_net():
     return net, params
 
 
+@pytest.mark.slow
 def test_global_gocor_matches_reference(ref_net):
     from binocular3dgs_tpu.init.pdcnet.gocor import global_gocor
     from binocular3dgs_tpu.init.pdcnet.layers import l2norm
@@ -188,6 +189,7 @@ def test_global_gocor_matches_reference(ref_net):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_local_gocor_matches_reference(ref_net):
     from binocular3dgs_tpu.init.pdcnet.gocor import local_gocor
 

@@ -189,6 +189,7 @@ class TestBlenderE2E:
 
 
 class TestRasterConfigThreading:
+    @pytest.mark.slow
     def test_default_render_fn_uses_cfg_raster(self, monkeypatch):
         """Trainer's default render_fn must thread cfg.raster: a Trainer
         built with backend="xla" never enters the Pallas path (regression:
@@ -216,6 +217,7 @@ class TestRasterConfigThreading:
 
 
 class TestPairCapacityGrowth:
+    @pytest.mark.slow
     def test_overflow_triggers_growth(self):
         """When the wanted pair count exceeds the static pair capacity, the
         Trainer must grow pairs_per_gaussian and re-jit instead of silently
@@ -246,6 +248,7 @@ class TestPairCapacityGrowth:
         trainer2 = Trainer(cfg, scene)
         assert trainer2.raster.pairs_per_gaussian == 1
 
+    @pytest.mark.slow
     def test_growth_is_bounded_and_capacity_respected(self):
         """Growth stops at max_pairs_per_gaussian (no unbounded re-jit loop)."""
         scene = build_synthetic_scene(n_views=2, n_pts=60)
