@@ -112,6 +112,13 @@ class RasterConfig:
     # Tiles blended per pallas grid step — amortizes the per-step grid
     # machinery (~2.6 us/tile at group=1, measured on a v5e).
     pallas_tile_group: int = 8
+    # Pack the pair-gather VJP's 10 f32 cotangent sort payloads as 5
+    # bf16-pair words (halves the dominant grad sort's payload bytes,
+    # 5.9 -> ~3.7 ms/render-pair measured on a v5e) at the cost of bf16
+    # rounding (~0.4% relative) on individual per-pair cotangents before
+    # the f32 segment accumulation. Off by default: gradients stay exactly
+    # f32-accumulated like the CUDA reference's atomicAdd path.
+    grad_sort_bf16: bool = False
     # Numerical constants of the CUDA rasterizer behavior spec (SURVEY.md §3.5)
     alpha_min: float = 1.0 / 255.0
     transmittance_min: float = 1e-4

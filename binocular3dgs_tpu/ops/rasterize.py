@@ -145,8 +145,8 @@ def _reorder_fields_bwd(inv_order, d_fd):
 _reorder_fields.defvjp(_reorder_fields_fwd, _reorder_fields_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _gather_records(fields_d, pair_gauss, rank_offsets, num_pairs, chunk, n):
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _gather_records(fields_d, pair_gauss, rank_offsets, num_pairs, chunk, n, sort_bf16=False):
     """records = fields_d[:, pair_gauss] (+ chunk padding), with a custom VJP.
 
     XLA's VJP of the pair gather is a scatter-add of (16, P) into (16, N)
@@ -175,12 +175,12 @@ def _gather_records(fields_d, pair_gauss, rank_offsets, num_pairs, chunk, n):
     return fields_d[:, idx]
 
 
-def _gather_records_fwd(fields_d, pair_gauss, rank_offsets, num_pairs, chunk, n):
-    out = _gather_records(fields_d, pair_gauss, rank_offsets, num_pairs, chunk, n)
+def _gather_records_fwd(fields_d, pair_gauss, rank_offsets, num_pairs, chunk, n, sort_bf16=False):
+    out = _gather_records(fields_d, pair_gauss, rank_offsets, num_pairs, chunk, n, sort_bf16)
     return out, (pair_gauss, rank_offsets, num_pairs)
 
 
-def _gather_records_bwd(chunk, n, res, d_records):
+def _gather_records_bwd(chunk, n, sort_bf16, res, d_records):
     from .blend_pallas import REC_ROWS
 
     pair_gauss, rank_offsets, num_pairs = res
@@ -190,10 +190,28 @@ def _gather_records_bwd(chunk, n, res, d_records):
     # the cumsum, which are HBM-bound on the pair axis
     live = 10
     d = d_records[:live, :P]
-    sorted_all = jax.lax.sort(
-        (pair_gauss,) + tuple(d[i] for i in range(live)), num_keys=1, is_stable=False
-    )
-    d_sorted = jnp.stack(sorted_all[1:], axis=0)
+    if sort_bf16:
+        # halve the sort's payload bytes: 10 f32 rows ride as 5 bf16-pair
+        # words (bitcast — the sort moves bits verbatim); costs bf16
+        # rounding on individual cotangents BEFORE the f32 segment cumsum
+        db = d.astype(jnp.bfloat16)
+        packed = tuple(
+            jax.lax.bitcast_convert_type(
+                jnp.stack([db[2 * i], db[2 * i + 1]], axis=-1), jnp.float32
+            )
+            for i in range(live // 2)
+        )
+        sorted_all = jax.lax.sort((pair_gauss,) + packed, num_keys=1, is_stable=False)
+        rows = []
+        for arr in sorted_all[1:]:
+            two = jax.lax.bitcast_convert_type(arr, jnp.bfloat16)
+            rows += [two[..., 0], two[..., 1]]
+        d_sorted = jnp.stack(rows, axis=0).astype(jnp.float32)
+    else:
+        sorted_all = jax.lax.sort(
+            (pair_gauss,) + tuple(d[i] for i in range(live)), num_keys=1, is_stable=False
+        )
+        d_sorted = jnp.stack(sorted_all[1:], axis=0)
     csum = jnp.cumsum(d_sorted, axis=1)
     Pv = jnp.minimum(num_pairs, P).astype(jnp.int32)
     tail = P - Pv  # invalid pairs, sorted into rank 0 (zero cotangents)
@@ -355,6 +373,7 @@ def rasterize_projected(
         records = _gather_records(
             fields_d, binning.pair_gauss, binning.rank_offsets,
             jax.lax.stop_gradient(binning.num_pairs), chunk, N,
+            raster.grad_sort_bf16,
         )
         out5 = _blend_records_pallas(
             records, binning.tile_start, binning.tile_count, TW, rows, ts, chunk,

@@ -29,10 +29,10 @@ SCENE = os.path.join(REPO, "quality_r05", "scene")
 OUT = os.path.join(REPO, "quality_r05", "out")
 ITERS = 3000
 
-# this process renders goldens on CPU; the train/render subprocesses get the
-# unmodified environment (and therefore the TPU tunnel)
+# this process renders goldens on CPU; the train/render subprocesses must get
+# the TPU tunnel back, so stash the axon hook before dropping it locally
+_AXON = os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
 import numpy as np  # noqa: E402
 
@@ -163,6 +163,8 @@ def main():
     tpu_env = {
         k: v for k, v in os.environ.items() if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
     }
+    if _AXON is not None:  # restore the TPU tunnel for the heavy subprocesses
+        tpu_env["PALLAS_AXON_POOL_IPS"] = _AXON
     py = sys.executable
     run(
         [
