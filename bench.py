@@ -186,11 +186,16 @@ def main():
     # stage-level device-time attribution of one chained step (xplane trace,
     # same methodology as scripts/probe_chain_trace.py)
     breakdown = {}
+    value_parity = {}
     if on_tpu:
         try:
             breakdown = _stage_breakdown(run_steps, state0)
         except Exception as e:
             breakdown = {"error": str(e)[:200]}
+        try:
+            value_parity = _chip_value_parity()
+        except Exception as e:
+            value_parity = {"ok": False, "error": str(e)[:200]}
 
     # device-count scaling (BASELINE.md: pixels/s at 1 chip / 1 host / >=2
     # hosts). This container exposes ONE real TPU chip; n>1 points come from
@@ -233,10 +238,58 @@ def main():
                 "step_ms": round(sec_per_iter * 1000, 2),
                 "blend_mfu_estimate": round(mfu, 5),
                 "stage_breakdown_ms": breakdown,
+                "chip_value_parity": value_parity,
                 "scaling": scaling,
             }
         )
     )
+
+
+def _chip_value_parity():
+    """Render + grad a small golden cloud on the CURRENT backend with the
+    pallas kernels vs the plain-XLA blend and compare values. This is the
+    guard for compiled-Mosaic-vs-interpret divergence: round 5 found every
+    chip matmul silently truncating f32 inputs to bf16 (default TPU matmul
+    precision), making gradients ~10x wrong on hardware while all
+    interpret-mode parity tests passed."""
+    import jax
+    import jax.numpy as jnp
+
+    from binocular3dgs_tpu.config import RasterConfig
+    from binocular3dgs_tpu.ops.rasterize import render_tiled
+
+    model, cam, _ = make_workload(1_500, 256, 256, seed=3)
+    bg = jnp.zeros(3)
+    outs = {}
+    for backend in ("pallas", "xla"):
+        raster = RasterConfig(backend=backend)
+        if backend == "xla":
+            raster.max_pairs_per_tile = 512
+            raster.chunk = 32
+
+        def loss(p, raster=raster):
+            o = render_tiled(cam, model.replace(params=p), bg, raster=raster)
+            return jnp.sum(o.image**2) + jnp.sum(o.depth) + jnp.sum(o.alpha)
+
+        img = jax.jit(
+            lambda p, raster=raster: render_tiled(
+                cam, model.replace(params=p), bg, raster=raster
+            ).image
+        )(model.params)
+        g = jax.jit(jax.grad(loss))(model.params)
+        outs[backend] = (np.asarray(img), np.asarray(g.xyz), np.asarray(g.opacity))
+
+    di = float(np.abs(outs["pallas"][0] - outs["xla"][0]).max())
+    gx_scale = float(np.abs(outs["xla"][1]).max()) + 1e-9
+    dgx = float(np.abs(outs["pallas"][1] - outs["xla"][1]).max()) / gx_scale
+    go_scale = float(np.abs(outs["xla"][2]).max()) + 1e-9
+    dgo = float(np.abs(outs["pallas"][2] - outs["xla"][2]).max()) / go_scale
+    return {
+        "img_max_diff": round(di, 5),
+        "gxyz_rel_max_diff": round(dgx, 5),
+        "gop_rel_max_diff": round(dgo, 5),
+        "ok": bool(di < 5e-3 and dgx < 5e-3 and dgo < 5e-3),
+    }
 
 
 def _stage_breakdown(run_steps, state0, steps=8):

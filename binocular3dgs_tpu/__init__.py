@@ -16,3 +16,18 @@ Design stance (not a port):
 """
 
 __version__ = "0.1.0"
+
+# f32 matmuls must BE f32 on TPU hardware. The platform default truncates
+# f32 dot/conv inputs to bf16 on the MXU, which is catastrophic for this
+# workload: camera-transform matmuls lose ~0.4% of every position, the
+# SSIM banded matmuls perturb the loss, and the blend kernels' log-space
+# transmittance scans amplify the truncation into ~10x-wrong gradients
+# (found on real v5e hardware 2026-08-21 — interpret-mode tests compute
+# f32 and can NOT catch this; bench.py chip_value_parity guards it now).
+# "high" = 3-pass bf16 (~f32-grade, half the cost of "highest"); the hot
+# Pallas kernels use explicit bit-masked bf16 splits instead (Mosaic only
+# lowers DEFAULT/HIGHEST, and XLA's excess-precision folding silently
+# destroys cast-based compensation — see ops/blend_pallas.py).
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "high")

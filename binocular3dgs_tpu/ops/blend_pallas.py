@@ -97,35 +97,105 @@ LIVE_ROWS = 10  # rows 0..9 carry data; 10..15 are alignment padding
 # full 16-row table; LIVE_ROWS only bounds the compute)
 
 
-def _tri_strict_upper(C):
-    """(C, C) f32 with [i, j] = 1 iff i < j: `x @ tri` = exclusive prefix sum
-    along lanes as ONE MXU contraction (the log-step roll/select scan costs
-    ~21 VPU ops on the full (S, C) block; the kernels are VPU-bound)."""
-    i = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
-    return (i < j).astype(jnp.float32)
+# -- precision discipline (found on real v5e hardware, 2026-08-21) --------
+# Default TPU matmul precision truncates f32 inputs to bf16 on the MXU;
+# interpret mode computes f32 and cannot catch it. The log-space
+# transmittance scans amplify that truncation into ~10x-wrong gradients.
+# Mosaic only offers DEFAULT (1 bf16 pass) or HIGHEST (6 passes), so exact
+# dots are built from DEFAULT passes with error-compensated bf16 splits:
+# x = hi + lo (hi = bf16(x), lo = x - hi, both exactly bf16-representable),
+# and the MXU accumulates every pass in f32. When one operand is already
+# exactly bf16-representable (the 0/1 triangular masks, the integer-valued
+# tile-local monomial basis <= 225), TWO passes give ~16-bit-mantissa
+# accuracy (rel ~1e-5, vs 0.4% truncated); three passes (dropping lo*lo)
+# for arbitrary x arbitrary. Measured: a fraction of HIGHEST's cost.
 
 
-def _tri_lower_incl(C):
-    """(C, C) f32 with [i, j] = 1 iff i >= j: `x @ tri` = inclusive suffix sum."""
-    i = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
-    return (i >= j).astype(jnp.float32)
+def _split(x):
+    """x -> (hi, lo) bf16 arrays with hi + lo ~= x to ~16 mantissa bits.
+
+    hi is carved out by BIT-MASKING the top 16 bits (bf16 == the top half
+    of an f32): cast-based formulations (hi = bf16(x), lo = x - f32(hi))
+    get algebraically elided by XLA under --xla_allow_excess_precision —
+    the f32->bf16->f32 round-trip folds to x, lo folds to 0, and the
+    "compensated" dot silently degrades to a single truncated pass
+    (measured: bit-identical error to DEFAULT). Bitwise ops cannot fold."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi_f = jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32
+    )  # exactly bf16-representable (truncated mantissa)
+    lo = x - hi_f  # exact in f32
+    return hi_f.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
 
 
-def _dot_lanes(x, tri):
-    """(S, C) @ (C, C) on the MXU."""
-    return jax.lax.dot_general(
-        x, tri, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+def _split3(x):
+    """x -> (hi, mid, lo) bf16 arrays: 8+8+8 mantissa bits covers the full
+    f32 mantissa, so hi+mid+lo == x to f32 rounding (same bit-mask
+    rationale as _split)."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi_f = jax.lax.bitcast_convert_type(bits & jnp.uint32(0xFFFF0000), jnp.float32)
+    r1 = x - hi_f
+    bits1 = jax.lax.bitcast_convert_type(r1, jnp.uint32)
+    mid_f = jax.lax.bitcast_convert_type(bits1 & jnp.uint32(0xFFFF0000), jnp.float32)
+    lo = r1 - mid_f
+    return hi_f.astype(jnp.bfloat16), mid_f.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
+
+
+# NOTE: passes pin precision=DEFAULT explicitly — the package sets the
+# GLOBAL default matmul precision to "highest" (see __init__.py), which
+# would silently turn each compensated pass into a 6-pass product.
+_P_FAST = jax.lax.Precision.DEFAULT
+
+
+def _dot_exact_a3(a_exact, b, dims):
+    """a @ b where `a` is exactly bf16-representable and `b` needs FULL f32
+    mantissa (cancellation-sensitive contractions): 3 bf16 passes."""
+    a16 = a_exact.astype(jnp.bfloat16)
+    bh, bm, bl = _split3(b)
+    f = lambda y: jax.lax.dot_general(
+        a16, y, dims, preferred_element_type=jnp.float32, precision=_P_FAST
     )
+    return f(bh) + (f(bm) + f(bl))
+
+
+def _dot_exact_a(a_exact, b, dims):
+    """a @ b where `a` is exactly bf16-representable: 2 bf16 passes."""
+    a16 = a_exact.astype(jnp.bfloat16)
+    bh, bl = _split(b)
+    f = lambda y: jax.lax.dot_general(
+        a16, y, dims, preferred_element_type=jnp.float32, precision=_P_FAST
+    )
+    return f(bh) + f(bl)
+
+
+def _dot_exact_b(a, b_exact, dims):
+    """a @ b where `b` is exactly bf16-representable: 2 bf16 passes."""
+    b16 = b_exact.astype(jnp.bfloat16)
+    ah, al = _split(a)
+    f = lambda y: jax.lax.dot_general(
+        y, b16, dims, preferred_element_type=jnp.float32, precision=_P_FAST
+    )
+    return f(ah) + f(al)
+
+
+def _dot3(a, b, dims):
+    """a @ b, both arbitrary f32: 3 bf16 passes (bf16x3, ~f32 accuracy)."""
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    f = lambda x, y: jax.lax.dot_general(
+        x, y, dims, preferred_element_type=jnp.float32, precision=_P_FAST
+    )
+    return f(ah, bh) + (f(ah, bl) + f(al, bh))
+
+
+_DIMS_LANES = (((1,), (0,)), ((), ()))
 
 
 def _last_col(x, C):
-    """x[:, C-1:C] as (S, 1) via a one-hot MXU contraction."""
-    onehot = (jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0) == C - 1).astype(x.dtype)
-    return jax.lax.dot_general(
-        x, onehot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    """x[:, C-1:C] as (S, 1) — an exact lane slice (the earlier one-hot MXU
+    contraction silently truncated its inputs to bf16 at default chip
+    precision, and costs 6 passes at exact precision)."""
+    return x[:, C - 1 : C]
 
 
 def _pixel_coords(tile_id, TW: int, ts: int, S: int):
@@ -191,20 +261,64 @@ def _power_coeffs(rec, x0=None, y0=None):
     return jnp.concatenate([c0, c1, c2, c3, c4, c5], axis=0)
 
 
-def _chunk_alpha_mxu(rec, basis, valid_lane, x0=None, y0=None):
+def _chunk_alpha(rec, basis, valid_lane, x0, y0):
     """alpha (S, C) for a record chunk rec (16, C); skip masks applied.
 
-    basis: (S, 6) pixel monomials (tile-local when x0/y0 given);
-    valid_lane: (1, C) pair validity.
-    """
+    The EWA exponent rides the MXU as `basis @ coeffs` with a 3-way
+    bf16-split of the coefficients (full f32 mantissa): the quadratic
+    expands into monomial terms up to ~1e3 that cancel to an O(10)
+    exponent, so 2-way (16-bit) splitting leaves ~1e-2 exponent error
+    (measured as 1.8% image error vs the dense oracle) while 3-way is
+    ~6e-5 — and K=6 passes are nearly free. A direct VPU dx/dy evaluation
+    is bit-exact but costs ~10 (S, C) VPU ops in a VPU-bound kernel
+    (measured +35 ms/step). The forward and backward MUST compute alpha
+    identically (the backward gates pairs on thresholds and reconstructs
+    transmittance by division — a single bit-flip at the ALPHA_MIN cut
+    amplifies ~100x into the gradients), which this shared helper
+    guarantees."""
     coeffs = _power_coeffs(rec, x0, y0)  # (6, C) — cheap (1, C) vector math
-    power = jax.lax.dot_general(
-        basis, coeffs, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (S, C) on the MXU
+    power = _dot_exact_a3(basis, coeffs, _DIMS_LANES)  # (S, C) on the MXU
     op = jnp.where(valid_lane, rec[5:6, :], 0.0)
     alpha = jnp.minimum(ALPHA_CLAMP, op * jnp.exp(power))
     alpha = jnp.where((power > 0.0) | (alpha < ALPHA_MIN), 0.0, alpha)
     return alpha, power
+
+
+def _lane_pos(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+
+def _tri_strict_upper(C):
+    """(C, C) f32 with [i, j] = 1 iff i < j: exclusive prefix sum mask."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    return (i < j).astype(jnp.float32)
+
+
+def _tri_lower_incl(C):
+    """(C, C) f32 with [i, j] = 1 iff i >= j: inclusive suffix sum mask."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    return (i >= j).astype(jnp.float32)
+
+
+def _scan_lanes3(x, tri):
+    """(S, C) @ (C, C) triangular-mask scan, 3-way split (full f32
+    mantissa; the mask is exactly bf16-representable). A VPU log-step
+    roll/select scan is bit-exact but measured +35 ms/step in these
+    VPU-bound kernels; 3 bf16 MXU passes cost a fraction of that."""
+    xh, xm, xl = _split3(x)
+    t16 = tri.astype(jnp.bfloat16)
+    f = lambda y: jax.lax.dot_general(
+        y, t16, _DIMS_LANES, preferred_element_type=jnp.float32, precision=_P_FAST
+    )
+    return f(xh) + (f(xm) + f(xl))
+
+
+def _scan_lanes2(x, tri):
+    """2-pass (16-bit) variant for scans whose result only shapes SMOOTH
+    gradient values (never a threshold decision): ~1.4e-5 relative."""
+    return _dot_exact_b(x, tri, _DIMS_LANES)
 
 
 # ---------------------------------------------------------------------------
@@ -265,16 +379,20 @@ def _forward_tile(
 
         k = c * C + lane1 - off  # (1, C) position within the tile's segment
         valid = (k >= 0) & (k < count)
-        alpha, _ = _chunk_alpha_mxu(rec, basis, valid, x0, y0)
+        alpha, _ = _chunk_alpha(rec, basis, valid, x0, y0)
         alpha = jnp.where(done > 0.5, 0.0, alpha)  # (S, 1) mask broadcast
 
-        # prefix transmittance via ONE MXU contraction in log space:
-        # cumprod(1-a) = exp(cumsum(log1p(-a))). T_after is monotone
-        # non-increasing along the chunk (factors in (0, 1]), so the CUDA
-        # termination test `T * (1-a) < T_MIN => stop before blending` yields
-        # a mask that is already cumulative — no corrective scan is needed
+        # prefix transmittance via ONE (3-pass split) MXU contraction in
+        # log space: cumprod(1-a) = exp(cumsum(log1p(-a))). T_after is
+        # monotone non-increasing along the chunk (factors in (0, 1]), so
+        # the CUDA termination test `T * (1-a) < T_MIN => stop before
+        # blending` yields a mask that is already cumulative
         one_minus = 1.0 - alpha
-        cp_excl = jnp.exp(_dot_lanes(jnp.log1p(-alpha), tri_x))  # prod_{j<i}
+        # 2-pass split (~1.4e-5 relative): the scan shapes transmittance
+        # VALUES only — the termination mask derives from it monotonically
+        # and the backward gates on n_contrib, so no threshold consistency
+        # is at stake (unlike the power contraction above)
+        cp_excl = jnp.exp(_scan_lanes2(jnp.log1p(-alpha), tri_x))  # prod_{j<i}
         cp_raw = cp_excl * one_minus  # inclusive
         T_after = T_run * cp_raw
         kill = T_after < T_MIN  # (S, C), monotone per row
@@ -286,8 +404,8 @@ def _forward_tile(
         # lane reductions; kept LANE-major (4, S) so the output write is a
         # direct row copy (a (S, 4)-oriented accumulator forces per-row vreg
         # transposes at the output, ~6.8 ms/frame measured)
-        acc_ref[:, :] = acc_ref[:, :] + jax.lax.dot_general(
-            rec[6:10, :], w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        acc_ref[:, :] = acc_ref[:, :] + _dot3(
+            rec[6:10, :], w, (((1,), (1,)), ((), ()))
         )
         nc_ref[:, :] = jnp.maximum(
             nc_ref[:, :], jnp.max(jnp.where(a_eff > 0.0, k + 1, 0), axis=1, keepdims=True)
@@ -459,8 +577,16 @@ def _backward_tile(
     count = tile_count_ref[t]
     base = pl.multiple_of((seg_start // C) * C, C)
     off = seg_start - base
-    px, py = _pixel_coords(t, TW, ts, S)
-    basis = _pixel_basis(px, py, S)  # (S, 6), hoisted out of the chunk loop
+    # CRITICAL: identical alpha recompute to the forward — tile-LOCAL basis
+    # + origin-shifted coefficients, same dot implementation. The backward
+    # reconstructs transmittance by division and gates pairs on thresholds
+    # (ALPHA_MIN, the n_contrib cut); any fwd/bwd alpha bit-mismatch flips
+    # threshold decisions and the division amplifies each flip up to 100x
+    # (measured: a global-coordinate basis here exploded grad norms 150x
+    # once the forward moved to the tile-local basis).
+    u, v = _local_coords(ts, S)
+    basis = _pixel_basis(u, v, S)
+    x0, y0 = _tile_origin(t, TW, ts)
     tri_s = _tri_lower_incl(C)
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
 
@@ -530,12 +656,12 @@ def _backward_tile(
         k = c * C + lane1 - off
         in_count = (k >= 0) & (k < count)
         keep = in_count & (k < n_contrib)  # (S, C)
-        alpha_raw, power = _chunk_alpha_mxu(rec, basis, in_count)
+        alpha_raw, power = _chunk_alpha(rec, basis, in_count, x0, y0)
         a = jnp.where(keep, alpha_raw, 0.0)
         one_minus = jnp.maximum(1.0 - a, 1.0 - ALPHA_CLAMP)
-        # suffix product prod_{j>=i}(1-a_j) via one MXU contraction in log
-        # space (one_minus is clamped >= 0.01, so the log is finite)
-        sp = jnp.exp(_dot_lanes(jnp.log(one_minus), tri_s))
+        # suffix product prod_{j>=i}(1-a_j) via one 3-pass MXU contraction
+        # in log space (one_minus >= 0.01, so the log is finite)
+        sp = jnp.exp(_scan_lanes2(jnp.log(one_minus), tri_s))
         T_i = T_run / sp
         w = a * T_i
 
@@ -543,12 +669,9 @@ def _backward_tile(
         # four per-channel suffix sums collapse into ONE by linearity
         # (d_r/d_g/d_b/d_dep are constants along the pair axis) — and the
         # 4-term broadcast chain is one (S, 4) @ (4, C) MXU contraction
-        r = jax.lax.dot_general(
-            D4, rec[6:10, :], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (S, C)
+        r = _dot3(D4, rec[6:10, :], _DIMS_LANES)  # (S, C)
         q = w * r
-        suf_q = _dot_lanes(q, tri_s)  # inclusive suffix sum (MXU)
+        suf_q = _scan_lanes2(q, tri_s)  # inclusive suffix sum (2-pass MXU)
         suffix_after = suf_q - q + suf  # Σ_{j>i} q_j incl. later chunks
 
         inv_om = 1.0 / one_minus
@@ -565,13 +688,15 @@ def _backward_tile(
         #   dcol = D4^T @ w                          -> color/depth cotangents
         dims_s = (((0,), (0,)), ((), ()))
         X = jnp.concatenate([d_pow, G * d_alpha_eff], axis=1)  # (S, 2C)
-        M2 = jax.lax.dot_general(basis, X, dims_s, preferred_element_type=jnp.float32)
+        M2 = _dot_exact_a(basis, X, dims_s)
         M = M2[:, :C]  # (6, C) moments of d_pow over [1, x, y, x^2, xy, y^2]
         d_op = M2[0:1, C:]
-        dcol = jax.lax.dot_general(D4, w, dims_s, preferred_element_type=jnp.float32)
+        dcol = _dot3(D4, w, dims_s)
 
-        mx = rec[0:1, :]
-        my = rec[1:2, :]
+        # basis moments are in tile-LOCAL coordinates — shift the splat
+        # centers the same way ((x - mx) is translation-invariant)
+        mx = rec[0:1, :] - x0
+        my = rec[1:2, :] - y0
         ca = rec[2:3, :]
         cb = rec[3:4, :]
         cc = rec[4:5, :]
@@ -603,13 +728,10 @@ def _backward_tile(
         out_dma(c, slot).start()
 
         # transmittance before this chunk's first pair (divide by the chunk
-        # total product = sp column 0) and the suffix carry (= suf_q column 0,
-        # the chunk's total Σq) — both via one one-hot contraction
+        # total product = sp column 0) and the suffix carry (= suf_q column
+        # 0, the chunk's total Σq) — via exact-split one-hot contraction
         onehot0 = (jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0) == 0).astype(sp.dtype)
-        col0 = jax.lax.dot_general(
-            jnp.concatenate([sp, suf_q], axis=0), onehot0,
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )  # (2S, 1)
+        col0 = _dot_exact_b(jnp.concatenate([sp, suf_q], axis=0), onehot0, _DIMS_LANES)
         T_run_ref[:, :] = T_run / col0[:S]
         suf_ref[:, :] = suf + col0[S:]
         return c_rev + 1
